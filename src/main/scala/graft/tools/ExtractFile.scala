@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.shakespeare.Shakespeare
+
+import java.nio.file.{Files, Paths}
+
+/** CLI: extract a single document and print its typed line stream.
+  *
+  * The single-document analogue of the reference CLI
+  * (src/parser/analyzer/TestParser.php:53-61) — useful for eyeballing
+  * extraction output and for driving the library end-to-end without Spark.
+  *
+  * Usage: runMain graft.tools.ExtractFile <file> [--limit N]
+  * Dispatch on extension like reference Parser.php:66-88
+  * (.shakespeare -> HTML path; .xml -> pdftohtml-XML path).
+  */
+object ExtractFile {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: ExtractFile <file.shakespeare|file.xml> [--limit N]")
+      sys.exit(2)
+    }
+    val path = args(0)
+    val limit = args.sliding(2).collectFirst { case Array("--limit", n) => n.toInt }.getOrElse(Int.MaxValue)
+    val bytes = try Files.readAllBytes(Paths.get(path)) catch {
+      case e: java.io.IOException =>
+        System.err.println(s"error: cannot read $path: ${e.getMessage}")
+        sys.exit(2); return
+    }
+    val text = new String(bytes, if (path.endsWith(".shakespeare")) "ISO-8859-1" else "UTF-8")
+    val lines =
+      if (path.endsWith(".shakespeare")) Shakespeare.parse(text)
+      else {
+        System.err.println(s"error: unsupported extension for $path (expected .shakespeare or .xml)")
+        sys.exit(2); return
+      }
+    lines.take(limit).foreach { l =>
+      val gp = if (l.givenPageNum.nonEmpty) l.givenPageNum else "-"
+      println(s"p${l.pageNum}/$gp\t${l.typeJson}\t${l.text}")
+    }
+    System.err.println(s"${lines.size} lines")
+  }
+}
