@@ -1,0 +1,230 @@
+package graft.synth
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic synthetic screenplay documents in pdftohtml-XML shape
+  * (see FIXTURES.md §2a), together with the extraction output the engine is
+  * expected to produce for them. The expectation builder is an independent
+  * derivation from the layout grammar (standard indents + margin rules),
+  * NOT a second run of the extractor — so generator + extractor check each
+  * other end-to-end.
+  *
+  * Geometry (all px at 72 dpi, zoom 1, page 918x1188 -> "A4" by the
+  * reference's >800 rule, ParseText.php:275):
+  *   slugline/action x=108, dialog x=252, paren x=324, character x=396,
+  *   transition right-aligned x=650; line height attr 17; same-block step
+  *   24px (no synthesized blank), block gap 36px (one blank, consumed by
+  *   the follower's margin), slugline/shot gap 48px (two blanks).
+  */
+object ScreenplayGen {
+
+  sealed trait Elem
+  final case class Slug(text: String) extends Elem
+  final case class Act(text: String) extends Elem // Action; may wrap lines
+  final case class Chr(name: String) extends Elem
+  final case class Dia(lines: Vector[String]) extends Elem
+  final case class Par(text: String) extends Elem
+  final case class Trans(text: String) extends Elem
+
+  final case class Doc(xml: String, expected: Vector[(String, String, Int, String)])
+  // expected tuples: (kind, text, pageNum, givenPageNum)
+
+  private val words = Vector("the", "quick", "brown", "fox", "jumps", "over",
+    "a", "lazy", "dog", "near", "old", "barn", "while", "rain", "falls",
+    "softly", "on", "tin", "roof", "and", "wind", "moves", "through", "tall",
+    "grass", "outside", "town")
+  private val places = Vector("HOUSE", "OFFICE", "CAR", "STREET", "BARN",
+    "KITCHEN", "ROOFTOP", "ALLEY", "DINER", "PARK")
+  private val times = Vector("DAY", "NIGHT", "MORNING", "SUNSET", "LATER")
+  private val names = Vector("ALICE", "BOB", "CAROL", "DAVE", "ERIN",
+    "FRANK", "GRACE", "HELEN")
+  private val transitions = Vector("CUT TO:", "FADE OUT", "DISSOLVE TO:",
+    "SMASH CUT TO:")
+
+  private def sentence(r: java.util.SplittableRandom, n: Int): String = {
+    val ws = (0 until n).map(_ => words(r.nextInt(words.length)))
+    ws.head.capitalize + ws.tail.map(" " + _).mkString + "."
+  }
+
+  /** A seeded screenplay element stream. */
+  def elements(seed: Long, nScenes: Int): Vector[Elem] = {
+    val r = new java.util.SplittableRandom(seed)
+    val out = ArrayBuffer.empty[Elem]
+    for (_ <- 0 until nScenes) {
+      out += Slug(s"INT. ${places(r.nextInt(places.length))} - ${times(r.nextInt(times.length))}")
+      // Action referencing a character so the verb regex fires
+      out += Act(s"${names(r.nextInt(names.length)).toLowerCase.capitalize} walks in. " + sentence(r, 4 + r.nextInt(5)))
+      val nSpeeches = 1 + r.nextInt(3)
+      for (_ <- 0 until nSpeeches) {
+        out += Chr(names(r.nextInt(names.length)))
+        if (r.nextInt(3) == 0) out += Par("(" + words(r.nextInt(words.length)) + ")")
+        val nLines = 1 + r.nextInt(3)
+        out += Dia((0 until nLines).map(_ => sentence(r, 3 + r.nextInt(4))).toVector)
+      }
+      if (r.nextInt(3) == 0) out += Trans(transitions(r.nextInt(transitions.length)))
+    }
+    out.toVector
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  final case class Options(
+      titlePage: Boolean = true,
+      headerText: String = "",   // e.g. "MY SCRIPT - draft"
+      pageNumbers: Boolean = true,
+      title: String = "A Synthetic Script",
+      author: String = "Gen Erator")
+
+  /** Render elements to pdftohtml-style XML and derive the expected
+    * extraction output.
+    */
+  def render(elems: Vector[Elem], opts: Options = Options()): Doc = {
+    val pageW = 918
+    val pageH = 1188
+    val lineH = 17
+    val xSlug = 108; val xDia = 252; val xPar = 324; val xChr = 396; val xTrans = 650
+    val maxTop = pageH - 100 // stay clear of the footer/CONTINUED bands
+    val charW = 7
+
+    val xml = new StringBuilder
+    xml.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<pdf2xml producer=\"synthetic\" version=\"1\">\n")
+    val expected = ArrayBuffer.empty[(String, String, Int, String)]
+
+    var pageNo = 0 // printed page number
+    var bodyPageCount = 0
+
+    def openPage(): Unit = {
+      pageNo += 1
+      xml.append(s"""<page number="$pageNo" position="absolute" top="0" left="0" height="$pageH" width="$pageW">\n""")
+      xml.append(s"""\t<fontspec id="0" size="12" family="Courier" color="#000000"/>\n""")
+      if (opts.headerText.nonEmpty && pageNo > 1)
+        xml.append(s"""\t<text top="36" left="$xSlug" width="${opts.headerText.length * charW}" height="$lineH" font="0">${esc(opts.headerText)}</text>\n""")
+      if (opts.pageNumbers && pageNo > 1)
+        xml.append(s"""\t<text top="36" left="810" width="${(pageNo.toString + ".").length * charW}" height="$lineH" font="0">$pageNo.</text>\n""")
+    }
+    def closePage(): Unit = xml.append("</page>\n")
+
+    def textLine(top: Int, left: Int, s: String): Unit =
+      xml.append(s"""\t<text top="$top" left="$left" width="${s.length * charW}" height="$lineH" font="0">${esc(s)}</text>\n""")
+
+    // title page (fly page): a handful of centered lines
+    if (opts.titlePage) {
+      openPage()
+      textLine(300, (pageW - opts.title.length * charW) / 2, opts.title)
+      textLine(360, (pageW - 10 * charW) / 2, "written by")
+      textLine(420, (pageW - opts.author.length * charW) / 2, opts.author)
+      closePage()
+      // expected: blanks synthesized from top padding 72 up to each line,
+      // then Title / Text / Author; fly-page margins are NOT blank-trimmed
+      val blanks1 = countBlanks(72, 300)
+      val blanks2 = countBlanks(300 + lineH, 360)
+      val blanks3 = countBlanks(360 + lineH, 420)
+      for (_ <- 0 until blanks1) expected += (("Text", "", 1, ""))
+      expected += (("Title", opts.title, 1, ""))
+      for (_ <- 0 until blanks2) expected += (("Text", "", 1, ""))
+      expected += (("Text", "written by", 1, ""))
+      for (_ <- 0 until blanks3) expected += (("Text", "", 1, ""))
+      expected += (("Author", opts.author, 1, ""))
+    }
+
+    // body pages
+    var top = 0
+    var curPageNum = 0 // engine page numbering: fly page = 1, body starts at 2
+    def givenOf(p: Int): String = if (opts.pageNumbers && p >= 2) p.toString else ""
+
+    // one renderable piece: (kind, lines, x, gap-from-previous-line)
+    def piece(e: Elem): (String, Vector[String], Int, Int) = e match {
+      case Slug(t)  => ("Slugline", Vector(t), xSlug, 48)
+      case Act(t)   => ("Action", wrap(t, 55), xSlug, 36)
+      case Chr(n)   => ("Character", Vector(n), xChr, 36)
+      case Par(t)   => ("Paren", Vector(t), xPar, 24)
+      case Dia(ls)  => ("Dialog", ls, xDia, 24)
+      case Trans(t) => ("Transition", Vector(t), xTrans, 36)
+    }
+
+    var fresh = false // a page is open with no body line yet
+    def newPage(): Unit = {
+      if (!fresh && bodyPageCount > 0) closePage()
+      openPage()
+      bodyPageCount += 1
+      curPageNum = bodyPageCount + 1 // engine: body always starts at page 2
+      top = 0
+      fresh = true
+    }
+
+    /** Emit a group atomically on one page. A Character split from its
+      * Dialog across a page break would trigger the engine's orphan-
+      * character rule (ParseText.php:1384-1405) — groups avoid that.
+      */
+    def emitGroup(group: Vector[Elem]): Unit = {
+      val ps = group.map(piece)
+      // simulate to check fit on the current page
+      var t = top
+      var f = fresh
+      ps.foreach { case (_, lines, _, gap) =>
+        t = if (f) 79 else t + gap // 79: no synthesized blank (79-8 < 72)
+        f = false
+        t += (lines.length - 1) * 24
+      }
+      if (bodyPageCount == 0 || (!fresh && t > maxTop)) newPage()
+      ps.foreach { case (kind, lines, x, gap) =>
+        top = if (fresh) 79 else top + gap
+        fresh = false
+        lines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s) }
+        top += (lines.length - 1) * 24
+        expected += ((kind, lines.mkString(" "), curPageNum, givenOf(pageNo)))
+      }
+    }
+
+    // group Chr (+Par) +Dia into speeches; everything else stands alone
+    val groups = ArrayBuffer.empty[Vector[Elem]]
+    var gi = 0
+    while (gi < elems.length) {
+      elems(gi) match {
+        case _: Chr =>
+          val g = ArrayBuffer[Elem](elems(gi))
+          var j = gi + 1
+          var stop = false
+          while (j < elems.length && !stop) {
+            elems(j) match {
+              case _: Par | _: Dia => g += elems(j); j += 1
+              case _               => stop = true
+            }
+          }
+          groups += g.toVector
+          gi = j
+        case e => groups += Vector(e); gi += 1
+      }
+    }
+    groups.foreach(emitGroup)
+    if (top != 0) closePage()
+    xml.append("</pdf2xml>\n")
+    Doc(xml.toString, expected.toVector)
+  }
+
+  /** blank lines the engine synthesizes between lastTopOffset and top
+    * (ParseText.php:469-475)
+    */
+  private def countBlanks(lastTopOffset: Int, top: Int): Int = {
+    var t = lastTopOffset
+    var n = 0
+    while (t <= top - 12 + 4) { n += 1; t += 12 }
+    n
+  }
+
+  /** naive word wrap used only to build multi-line action blocks */
+  private def wrap(s: String, width: Int): Vector[String] = {
+    val out = ArrayBuffer.empty[String]
+    var cur = new StringBuilder
+    s.split(" ").foreach { w =>
+      if (cur.nonEmpty && cur.length + 1 + w.length > width) {
+        out += cur.toString; cur = new StringBuilder
+      }
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(w)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toVector
+  }
+}

@@ -30,6 +30,7 @@ object ExtractFile {
     val text = new String(bytes, if (path.endsWith(".shakespeare")) "ISO-8859-1" else "UTF-8")
     val lines =
       if (path.endsWith(".shakespeare")) Shakespeare.parse(text)
+      else if (path.endsWith(".xml")) graft.pdfxml.PdfXml.parse(text).objects
       else {
         System.err.println(s"error: unsupported extension for $path (expected .shakespeare or .xml)")
         sys.exit(2); return
