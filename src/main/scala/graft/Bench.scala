@@ -1,24 +1,70 @@
 package graft
+
+import graft.spark.{Pipeline, Transcripts}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS and measures the headline metric —
+  * extraction throughput in turns/sec with per-turn exact-match against the
+  * goldens (BASELINE.md). Prints ONE JSON line.
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** extraction benchmark: (turns, seconds, mismatches) */
+  def extractionBench(spark: SparkSession, nConvs: Long, par: Int): (Long, Double, Long) = {
+    val t0 = System.nanoTime()
+    val transcripts = Transcripts.synthesize(spark, nConvs, seed = 42L, parallelism = par).toDF()
+    val goldens = Transcripts.goldens(spark, nConvs, seed = 42L, parallelism = par).toDF()
+    val verified = Pipeline.verify(Pipeline.lines(Pipeline.extracted(transcripts)), goldens)
+    val row = Pipeline.turnVerdicts(verified)
+      .agg(count(lit(1)).as("turns"),
+        sum(when(col("turn_ok") === 0, 1).otherwise(0)).as("mismatches"))
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (row.getLong(0), secs, row.getLong(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: extraction turns/sec with per-turn equality
+    val nConvs = if (sfDir.contains("0.1")) 2000L else if (sfDir.contains("0.01")) 400L else 80L
+    val (turns, exSecs, mismatches) = extractionBench(spark, nConvs, cpus.toInt)
+    val turnsPerSec = if (exSecs > 0) turns / exSecs else 0.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + exSecs
+    val json = new StringBuilder
+    json ++= "{\"metric\":\"total\",\"value\":" ++= f"$total%.3f"
+    json ++= ",\"unit\":\"sec\",\"queries\":" ++= qs
+    json ++= ",\"sf\":\"" ++= sfDir ++= "\""
+    json ++= ",\"extraction\":{\"turns\":" ++= turns.toString
+    json ++= ",\"seconds\":" ++= f"$exSecs%.3f"
+    json ++= ",\"turns_per_sec\":" ++= f"$turnsPerSec%.1f"
+    json ++= ",\"mismatches\":" ++= mismatches.toString ++= "}"
+    json ++= ",\"cpus\":" ++= cpus ++= "}"
+    println(json.toString)
     spark.stop()
   }
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * - [[bruteTopK]]: exact cosine top-k of a (small, broadcast) query set
+  *   against the corpus — the correctness baseline. One broadcast join,
+  *   no shuffle of the corpus; a single shuffle for the per-query top-k.
+  * - [[lshTopK]]: the scale path — sign-random-projection (hyperplane LSH)
+  *   buckets; queries only score vectors sharing a bucket in at least one
+  *   of `nTables` tables. Corpus shuffles once on the bucket key.
+  */
+object Ann {
+
+  /** deterministic pseudo-random hyperplanes: component j of plane p for
+    * table t = remix(t*dims*planes + p*dims + j) scaled to [-1, 1)
+    */
+  private def planeComponent(seed: Long, idx: Long): Double = {
+    val h = Hash64.remix(seed ^ 0x5bf03635, (idx & 0x7fffffff).toInt)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private def cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  private def bucketUdf(seed: Long, nPlanes: Int, table: Int) = udf { (v: Seq[Float]) =>
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) {
+        dot += v(j) * planeComponent(seed, (table.toLong * nPlanes + p) * 4096L + j)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Exact cosine top-k: queries must be small enough to broadcast. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosineUdf(col("query_vec"), col("corpus_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hyperplane-LSH bucketed ANN top-k. Recall grows with nTables;
+    * candidates per query shrink ~2^-nPlanes per table.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    def withBuckets(df: DataFrame, vc: String): DataFrame =
+      df.withColumn("tb", explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("table_id"), bucketUdf(seed, nPlanes, t)(col(vc)).as("bucket"))
+      }: _*))).select(df.columns.map(col) :+ col("tb.table_id") :+ col("tb.bucket"): _*)
+    val cb = withBuckets(c, "corpus_vec")
+    val qb = withBuckets(q, "query_vec")
+    val candidates = cb.join(qb, Seq("table_id", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", cosineUdf(col("query_vec"), col("corpus_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus curation at scale. Each returns a
+  * DataFrame; shuffle behavior noted per op (the thing that matters at
+  * 100 TB).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: ONE shuffle on the 128-bit md5 of the
+    * text. Returns one row per distinct content with the canonical
+    * (minimum) id and the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** Near-dup candidate pairs via MinHash + banded LSH:
+    * shingle -> signature (map-only Expression) -> explode bands ->
+    * self-join on (band_idx, band_hash) -> verify with exact k-shingle
+    * Jaccard. Shuffles: one on the band key (narrow rows), none on raw
+    * text until the (small) candidate set is verified.
+    */
+  def minhashLsh(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val nBands = nHashes / rowsPerBand
+
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"),
+        TextOps.minhash(col(textCol), k, nHashes).as("sig"))
+
+    val bandFn = udf { (sig: Seq[Long]) => MinHash.bands(sig.toArray, rowsPerBand) }
+    val banded = sigs
+      .select($"id", $"text", $"sig", posexplode(bandFn($"sig")).as(Seq("band_idx", "band_hash")))
+
+    val a = banded.select($"band_idx", $"band_hash", $"id".as("id_a"), $"text".as("text_a"))
+    val b = banded.select($"band_idx", $"band_hash", $"id".as("id_b"), $"text".as("text_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"text_a", $"text_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val jac = udf { (t1: String, t2: String) => MinHash.exactJaccard(t1, t2, k) }
+    candidates
+      .withColumn("jaccard", jac($"text_a", $"text_b"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4x16-bit
+    * chunks (hamming distance <= 3 guarantees one identical chunk);
+    * verify by full hamming distance. One shuffle on the chunk key.
+    */
+  def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val fps = df.select(col(idCol).as("id"), TextOps.simhash64(col(textCol)).as("fp"))
+    val chunked = fps.select($"id", $"fp",
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk_idx"),
+          (($"fp" cast "bigint") / lit(1L << (i * 16)) cast "bigint").bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
+      .select($"id", $"fp", $"c.chunk_idx", $"c.chunk")
+    val a = chunked.select($"chunk_idx", $"chunk", $"id".as("id_a"), $"fp".as("fp_a"))
+    val b = chunked.select($"chunk_idx", $"chunk", $"id".as("id_b"), $"fp".as("fp_b"))
+    val ham = udf { (x: Long, y: Long) => SimHash.hamming(x, y) }
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter($"id_a" < $"id_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", ham($"fp_a", $"fp_b"))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Exact dedup keeping first-by-id row per content (window variant,
+    * useful when the full row must survive).
+    */
+  def keepCanonical(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

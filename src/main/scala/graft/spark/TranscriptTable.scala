@@ -1,0 +1,152 @@
+package graft.spark
+
+import graft.util.Json
+import graft.util.Json.{Arr, Bool, Num, Obj, Str}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-STYLE table layout for the transcripts / extraction tables.
+  *
+  * No Iceberg runtime jar ships in this environment (see SURVEY.md §7), so
+  * this implements the same operational contract behind a small interface
+  * a real Iceberg catalog can replace:
+  *   - data files:      <root>/data/bucket=<b>/part-*.parquet
+  *                      (bucket = pmod(xxhash64(conv_id), nBuckets) — the
+  *                      conv_id bucketing the north rule requires)
+  *   - snapshot:        <root>/metadata/snapshot-<id>.json  (+ current.json
+  *                      pointer), carrying the partition spec and counters
+  *   - checkpoints:     <root>/metadata/checkpoints/bucket-<b>.json written
+  *                      atomically (tmp + move) per finished partition with
+  *                      lineage (snapshot id, partition spec) and counters
+  *                      (turns parsed, bytes tokenized, mismatches)
+  *
+  * A failed extraction run resumes at partition granularity: buckets with a
+  * committed checkpoint manifest are skipped.
+  */
+object TranscriptTable {
+
+  final case class Counters(turns: Long, bytes: Long, mismatches: Long)
+
+  def bucketCol(nBuckets: Int) = pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int")
+
+  /** Write a conv_id-bucketed table + snapshot metadata. */
+  def write(df: DataFrame, root: String, nBuckets: Int, snapshotId: Long): Unit = {
+    val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
+    withBucket
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions("conv_id", "turn_idx") // stable order within files
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$root/data")
+    val meta = Paths.get(root, "metadata")
+    Files.createDirectories(meta)
+    val snap = Obj.of(
+      "snapshot_id" -> Num(snapshotId.toDouble),
+      "format" -> Str("parquet"),
+      "partition_spec" -> Obj.of(
+        "kind" -> Str("bucket"),
+        "column" -> Str("conv_id"),
+        "transform" -> Str(s"pmod(xxhash64(conv_id), $nBuckets)"),
+        "n_buckets" -> Num(nBuckets.toDouble)),
+      "schema" -> Str(df.schema.json))
+    atomicWrite(meta.resolve(s"snapshot-$snapshotId.json"), Json.write(snap))
+    atomicWrite(meta.resolve("current.json"),
+      Json.write(Obj.of("current_snapshot_id" -> Num(snapshotId.toDouble))))
+  }
+
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/data")
+
+  def currentSnapshotId(root: String): Option[Long] = {
+    val p = Paths.get(root, "metadata", "current.json")
+    if (!Files.exists(p)) None
+    else Json.parse(Files.readString(p)).get("current_snapshot_id").map(_.asInt.toLong)
+  }
+
+  private def atomicWrite(path: Path, content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- per-partition checkpoint manifests --------------------------------
+
+  def checkpointDir(outRoot: String): Path =
+    Paths.get(outRoot, "metadata", "checkpoints")
+
+  def committedBuckets(outRoot: String): Set[Int] = {
+    val dir = checkpointDir(outRoot)
+    if (!Files.isDirectory(dir)) Set.empty
+    else Files.list(dir).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+        s.stripPrefix("bucket-").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  def commitBucket(outRoot: String, bucket: Int, snapshotId: Long,
+      nBuckets: Int, c: Counters): Unit = {
+    val dir = checkpointDir(outRoot)
+    Files.createDirectories(dir)
+    val manifest = Obj.of(
+      "bucket" -> Num(bucket.toDouble),
+      "snapshot_id" -> Num(snapshotId.toDouble),
+      "partition_spec" -> Str(s"bucket(conv_id, $nBuckets)"),
+      "counters" -> Obj.of(
+        "turns_parsed" -> Num(c.turns.toDouble),
+        "bytes_tokenized" -> Num(c.bytes.toDouble),
+        "extraction_mismatches" -> Num(c.mismatches.toDouble)),
+      "complete" -> Bool(true))
+    atomicWrite(dir.resolve(s"bucket-$bucket.json"), Json.write(manifest))
+  }
+
+  def readCounters(outRoot: String): Counters = {
+    val dir = checkpointDir(outRoot)
+    if (!Files.isDirectory(dir)) return Counters(0, 0, 0)
+    Files.list(dir).iterator.asScala.filter(_.toString.endsWith(".json"))
+      .map(p => Json.parse(Files.readString(p)))
+      .foldLeft(Counters(0, 0, 0)) { (acc, m) =>
+        val c = m("counters")
+        Counters(
+          acc.turns + c("turns_parsed").asInt,
+          acc.bytes + c("bytes_tokenized").asInt,
+          acc.mismatches + c("extraction_mismatches").asInt)
+      }
+  }
+
+  /** Checkpointed extraction run: reads the bucketed transcripts table,
+    * extracts per bucket, writes extracted lines per bucket, and commits a
+    * manifest per finished bucket. Buckets already committed are skipped —
+    * partition-granular resume. Returns aggregate counters.
+    *
+    * At cluster scale each bucket is many files/tasks; the per-bucket loop
+    * is driver-side control flow only (no data moves through the driver).
+    */
+  def extractWithCheckpoints(spark: SparkSession, tableRoot: String,
+      outRoot: String, nBuckets: Int): Counters = {
+    val snapshotId = currentSnapshotId(tableRoot).getOrElse(0L)
+    val done = committedBuckets(outRoot)
+    val todo = (0 until nBuckets).filterNot(done)
+    todo.foreach { b =>
+      val in = spark.read.parquet(s"$tableRoot/data/bucket=$b")
+      Pipeline.extracted(in)
+        .withColumn("n_lines", size(col("ex.lines")))
+        .withColumn("bytes", col("ex.bytes"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outRoot/data/bucket=$b")
+      // counters from the written output: one pass over the (small)
+      // extracted data, which also validates the write before commit
+      val row = spark.read.parquet(s"$outRoot/data/bucket=$b")
+        .agg(count(lit(1)).as("turns"),
+          coalesce(sum(col("bytes")), lit(0L)).as("bytes")).head()
+      commitBucket(outRoot, b, snapshotId, nBuckets,
+        Counters(row.getLong(0), row.getLong(1), 0))
+    }
+    readCounters(outRoot)
+  }
+}

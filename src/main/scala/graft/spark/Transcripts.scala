@@ -1,0 +1,99 @@
+package graft.spark
+
+import graft.synth.{ScreenplayGen, ShakespeareGen}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** One transcript turn (BASELINE.json input_hint schema). */
+final case class Turn(
+    conv_id: String, turn_idx: Int, role: String, text: String,
+    tool: String, ts: Timestamp)
+
+/** One expected extraction line for the verification join (J4). */
+final case class GoldenLine(
+    conv_id: String, turn_idx: Int, line_idx: Int,
+    kind: String, text: String, page_num: Int, given_page_num: String)
+
+/** Deterministic synthetic multi-turn transcript corpus: each assistant
+  * turn's payload is a document (pdftohtml-style XML or Shakespeare-style
+  * HTML, ~50/50), other turns carry small plain-text payloads. Generation
+  * is distributed (seeded per conversation, no driver-side data) and
+  * emits a parallel goldens table derived independently from the layout
+  * grammar — the per-turn equality oracle.
+  *
+  * Skew: conversation k has turn count multiplied for k % skewEvery == 0,
+  * modeling the long-conversation skew the north rule calls out.
+  */
+object Transcripts {
+
+  val schema: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("turn_idx", IntegerType, nullable = false),
+    StructField("role", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("tool", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
+
+  private val epochMs = 1735689600000L // 2025-01-01T00:00:00Z, fixed
+
+  def convId(seed: Long, k: Long): String = f"conv-$seed%x-$k%08d"
+
+  /** Deterministic turns for one conversation. */
+  def turnsFor(seed: Long, k: Long, avgTurns: Int, skewEvery: Int, skewFactor: Int): Seq[(Turn, Seq[GoldenLine])] = {
+    val r = new java.util.SplittableRandom(seed * 1000003L + k)
+    val id = convId(seed, k)
+    val base = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
+    val nTurns = if (skewEvery > 0 && k % skewEvery == 0) base * skewFactor else base
+    (0 until nTurns).map { ti =>
+      val role = ti % 3 match { case 0 => "user"; case 1 => "assistant"; case 2 => "tool" }
+      val ts = new Timestamp(epochMs + k * 3600000L + ti * 60000L)
+      if (role == "assistant") {
+        val docSeed = seed ^ (k * 7919L + ti)
+        if (r.nextBoolean()) {
+          val doc = ScreenplayGen.render(
+            ScreenplayGen.elements(docSeed, 2 + r.nextInt(4)),
+            ScreenplayGen.Options(headerText = s"TRANSCRIPT $id"))
+          val goldens = doc.expected.zipWithIndex.map { case ((kind, text, page, given), li) =>
+            GoldenLine(id, ti, li, kind, text, page, given)
+          }
+          (Turn(id, ti, role, doc.xml, "pdftohtml", ts), goldens)
+        } else {
+          val doc = ShakespeareGen.generate(docSeed, 1 + r.nextInt(3), s"Play $id $ti")
+          val goldens = doc.expected.zipWithIndex.map { case ((kind, text, page, given), li) =>
+            GoldenLine(id, ti, li, kind, text, page, given)
+          }
+          (Turn(id, ti, role, doc.html, "shakespeare", ts), goldens)
+        }
+      } else {
+        val text = s"plain turn $ti of $id: " + ("lorem " * (1 + r.nextInt(8))).trim
+        (Turn(id, ti, role, text, "", ts), Seq.empty[GoldenLine])
+      }
+    }
+  }
+
+  /** Distributed synthesis: one task per slice of conversations. */
+  def synthesize(spark: SparkSession, nConvs: Long, seed: Long = 42L,
+      avgTurns: Int = 8, skewEvery: Int = 1000, skewFactor: Int = 20,
+      parallelism: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => turnsFor(seed, k, avgTurns, skewEvery, skewFactor).map(_._1))
+  }
+
+  /** The goldens side of the same corpus (same seed => exact pairing). */
+  def goldens(spark: SparkSession, nConvs: Long, seed: Long = 42L,
+      avgTurns: Int = 8, skewEvery: Int = 1000, skewFactor: Int = 20,
+      parallelism: Int = 0): Dataset[GoldenLine] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => turnsFor(seed, k, avgTurns, skewEvery, skewFactor).flatMap(_._2))
+  }
+
+  def df(spark: SparkSession, nConvs: Long, seed: Long = 42L): DataFrame =
+    synthesize(spark, nConvs, seed).toDF()
+}

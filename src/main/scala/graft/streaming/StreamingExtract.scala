@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.spark.{ExtractTurn, Transcripts}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface. The reference engine is strictly batch
+  * (SURVEY.md §2.11 — no streaming exists there), so this is the engine's
+  * OWN streaming capability: incremental extraction over a growing
+  * transcripts directory and watermarked per-window turn counts, built on
+  * readStream -> extract_turn -> writeStream.
+  */
+object StreamingExtract {
+
+  /** file-source stream over a transcripts parquet directory */
+  def readTranscripts(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Transcripts.schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(dir)
+
+  /** incremental extraction: each micro-batch extracts newly arrived turns */
+  def extractedStream(transcripts: DataFrame): DataFrame =
+    transcripts
+      .filter(col("tool").isin("pdftohtml", "shakespeare"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        ExtractTurn(col("text")).as("ex"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
+        col("ex.format").as("format"),
+        size(col("ex.lines")).as("n_lines"),
+        col("ex.bytes").as("bytes"))
+
+  /** watermarked event-time windowed aggregation of extraction volume */
+  def windowedCounts(extracted: DataFrame): DataFrame =
+    extracted
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("format"))
+      .agg(count(lit(1)).as("turns"), sum(col("n_lines")).as("lines"))
+
+  /** start a memory-sink query (tests / local smoke) */
+  def startMemory(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

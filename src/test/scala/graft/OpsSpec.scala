@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.{Ann, Dedup, LangId, MinHash, Multimodal, SimHash}
+import graft.streaming.StreamingExtract
+import graft.spark.Transcripts
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline ops: dedup family, ANN, multimodal stub,
+  * streaming extraction.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact dedup finds injected duplicates") {
+    val sp = spark
+    import sp.implicits._
+    val dup = docs.select((col("doc_id") + 5000).as("doc_id"), col("text"))
+      .limit(10)
+    val all = docs.select(col("doc_id"), col("text")).union(dup)
+    val deduped = Dedup.exact(all)
+    assert(deduped.count() == docs.count()) // every content distinct once
+    assert(deduped.filter($"n_dups" === 2).count() == 10)
+    val kept = Dedup.keepCanonical(all)
+    assert(kept.count() == docs.count())
+    assert(kept.filter($"doc_id" >= 5000).count() == 0) // canonical = min id
+  }
+
+  test("minhash LSH finds near-duplicates and estimates jaccard") {
+    val sp = spark
+    import sp.implicits._
+    val base = docs.select(col("doc_id"), col("text")).limit(50)
+    val near = base.select((col("doc_id") + 5000).as("doc_id"),
+      concat(col("text"), lit(" tiny suffix")).as("text"))
+    val pairs = Dedup.minhashLsh(base.union(near), threshold = 0.7)
+    // every doc must pair with its perturbed copy
+    val found = pairs.filter($"id_b" === $"id_a" + 5000).count()
+    assert(found == 50, s"found only $found of 50 planted near-dups")
+    // estJaccard sanity on the raw signatures
+    val sigA = MinHash.signature("a b c d e f g h", 3, 64)
+    val sigB = MinHash.signature("a b c d e f g x", 3, 64)
+    assert(MinHash.estJaccard(sigA, sigA) == 1.0)
+    assert(MinHash.estJaccard(sigA, sigB) < 1.0)
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    val a = SimHash.of("the quick brown fox jumps over the lazy dog near the barn")
+    val b = SimHash.of("the quick brown fox jumps over the lazy dog near the barn!")
+    val c = SimHash.of("completely unrelated text about spark query planning internals")
+    assert(SimHash.hamming(a, b) <= 6)
+    assert(SimHash.hamming(a, c) > 10)
+  }
+
+  test("ANN: LSH recall against brute-force ground truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val truth = Ann.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.lshTopK(emb, queries, k = 5, nPlanes = 3, nTables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(truth.size == 40)
+    assert(recall >= 0.6, s"LSH recall too low: $recall") // 3 planes x 8 tables
+  }
+
+  test("lang id: CJK and stopword heuristics") {
+    assert(LangId.detect("你好 世界 这是 中文 文本 测试") == "zh")
+    assert(LangId.detect("the cat and the dog sat in the house") == "en")
+    assert(LangId.detect("der hund und die katze ist ein tier") == "de")
+    assert(LangId.detect("le chat est un animal avec le chien") == "fr")
+    assert(LangId.detect("el perro y la casa es una mesa") == "es")
+    assert(LangId.detect("xyzzy plugh") == "und")
+  }
+
+  test("multimodal: stub decode pipeline is deterministic with real schema") {
+    val m1 = Multimodal.features(Multimodal.synthesize(spark, 30)).collect().sortBy(_.media_id)
+    val m2 = Multimodal.features(Multimodal.synthesize(spark, 30)).collect().sortBy(_.media_id)
+    assert(m1.toSeq == m2.toSeq)
+    assert(m1.forall(f => f.thumb_w <= 128 && f.thumb_h <= 128))
+    assert(m1.filter(_.kind == "image").forall(_.n_frames_sampled == 1))
+    assert(m1.filter(_.kind == "video").forall(_.n_frames_sampled >= 1))
+    val stats = Multimodal.stats(Multimodal.features(Multimodal.synthesize(spark, 30)))
+    assert(stats.count() == 3)
+  }
+
+  test("streaming: incremental extraction over a growing directory") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Transcripts.synthesize(sp, 6, seed = 5L).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingExtract.startMemory(
+      StreamingExtract.extractedStream(StreamingExtract.readTranscripts(sp, dir)),
+      "stream_out")
+    q.awaitTermination(60000)
+    val out = sp.sql("SELECT count(*) FROM stream_out").head().getLong(0)
+    val expected = sp.read.parquet(dir)
+      .filter(col("tool").isin("pdftohtml", "shakespeare")).count()
+    assert(out == expected, s"$out != $expected")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.spark.{ExtractTurn, Pipeline, Transcripts, TranscriptTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level end-to-end: synthesize transcripts, extract with the
+  * Catalyst expression, verify per-turn equality against the goldens
+  * (zero mismatches), exercise derived tables and the Iceberg-style
+  * checkpointed run with resume.
+  */
+class SparkPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("extract_turn expression: per-turn equality vs goldens on 40 conversations") {
+    val sp = spark
+    val transcripts = Transcripts.synthesize(sp, nConvs = 40, seed = 7L,
+      avgTurns = 6, skewEvery = 10, skewFactor = 5).toDF()
+    val goldens = Transcripts.goldens(sp, nConvs = 40, seed = 7L,
+      avgTurns = 6, skewEvery = 10, skewFactor = 5).toDF()
+
+    val lines = Pipeline.lines(Pipeline.extracted(transcripts))
+    val verified = Pipeline.verify(lines, goldens).cache()
+    val bad = verified.filter(!col("ok"))
+    val badRows = bad.limit(5).collect()
+    assert(badRows.isEmpty,
+      s"mismatches:\n${badRows.map(_.toString).mkString("\n")}")
+    val verdicts = Pipeline.turnVerdicts(verified)
+    val nTurns = verdicts.count()
+    assert(nTurns > 50, s"too few extracted turns: $nTurns")
+    assert(verdicts.filter(col("turn_ok") === 0).count() == 0)
+    verified.unpersist()
+  }
+
+  test("SQL registration and sniffing") {
+    val sp = spark
+    ExtractTurn.register(sp)
+    import sp.implicits._
+    val df = Seq(
+      ("<pdf2xml><page number=\"1\" height=\"1188\" width=\"918\"></page></pdf2xml>", "x"),
+      ("<html><head><title>T: Entire Play</title></head><body></body></html>", "y"),
+      ("just text", "z")).toDF("text", "id")
+    df.createOrReplaceTempView("turns")
+    val got = sp.sql("SELECT id, extract_turn(text).format AS fmt FROM turns ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toVector
+    assert(got == Vector(("x", "pdfxml"), ("y", "shakespeare"), ("z", "unknown")))
+  }
+
+  test("derived tables: scenes, dialog attribution, character counts") {
+    val sp = spark
+    val transcripts = Transcripts.synthesize(sp, 10, seed = 3L).toDF()
+    val lines = Pipeline.lines(Pipeline.extracted(transcripts)).cache()
+    val dialog = Pipeline.dialog(lines)
+    assert(dialog.count() > 0)
+    // every Dialogue line got a speaker that is a Character line's text
+    val speakers = dialog.select("speaker").distinct().collect().map(_.getString(0)).toSet
+    val charTexts = lines.filter(col("type") === "Character")
+      .select("text").distinct().collect().map(_.getString(0)).toSet
+    assert(speakers.subsetOf(charTexts))
+    val counts = Pipeline.characterCounts(dialog).collect()
+    assert(counts.nonEmpty)
+    assert(counts.sliding(2).forall(p => p.length < 2 || p(0).getLong(1) >= p(1).getLong(1)))
+    val sl = Pipeline.sceneLengths(lines)
+    assert(sl.agg(min("scene_len")).head().getLong(0) >= 0)
+    lines.unpersist()
+  }
+
+  test("iceberg-style table: bucketed write, checkpointed extract, resume") {
+    val sp = spark
+    val root = java.nio.file.Files.createTempDirectory("graft_table").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val nBuckets = 4
+    val transcripts = Transcripts.synthesize(sp, 30, seed = 11L).toDF()
+    TranscriptTable.write(transcripts, root, nBuckets, snapshotId = 1L)
+    assert(TranscriptTable.currentSnapshotId(root).contains(1L))
+    // pretend bucket 0 already committed -> resume must skip it
+    TranscriptTable.commitBucket(out, 0, 1L, nBuckets, TranscriptTable.Counters(0, 0, 0))
+    val counters = TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets)
+    assert(TranscriptTable.committedBuckets(out) == Set(0, 1, 2, 3))
+    // counters only cover buckets 1..3 (bucket 0 was "already done")
+    val expectTurns = sp.read.parquet(s"$root/data")
+      .filter(col("tool").isin("pdftohtml", "shakespeare"))
+      .filter(col("bucket") =!= 0).count()
+    assert(counters.turns == expectTurns, s"${counters.turns} != $expectTurns")
+    assert(counters.bytes > 0)
+  }
+}
