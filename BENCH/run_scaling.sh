@@ -1,0 +1,72 @@
+#!/bin/bash
+# N-vs-4N executor scaling evidence via real spark-submit (BASELINE.md).
+# local-cluster[n,cores,memMB] launches n SEPARATE executor JVMs — the
+# closest single-machine analogue of an n-executor cluster.
+#
+# usage: BENCH/run_scaling.sh [nConvs] [coresPerExecutor] [execMemMB]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+NCONVS="${1:-160000}"
+CORES="${2:-8}"
+MEM="${3:-10240}"
+SUBMIT=/opt/spark/bin/spark-submit
+JAR=target/scala-2.13/pdfparsertsspark_2.13-0.1.0.jar
+TABLE=$(mktemp -d /tmp/graft_scaling_XXXX)
+
+sbt -batch package >/dev/null
+
+COMMON=(--conf spark.ui.enabled=false
+        --conf spark.sql.session.timeZone=UTC
+        --conf spark.sql.adaptive.enabled=true
+        --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC
+        --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC
+        --driver-memory 8g)
+
+echo "== prep: $NCONVS conversations -> $TABLE"
+"$SUBMIT" --master "local[32]" "${COMMON[@]}" \
+  --conf spark.sql.shuffle.partitions=32 \
+  --class graft.ScalingPrep "$JAR" "$TABLE" "$NCONVS" 2>/dev/null | grep '^{'
+
+echo "== N: 1 executor x $CORES cores"
+N_OUT=$("$SUBMIT" --master "local-cluster[1,$CORES,$MEM]" "${COMMON[@]}" \
+  --conf spark.sql.shuffle.partitions=$CORES \
+  --class graft.ScalingRun "$JAR" "$TABLE" "N" 2>/dev/null | grep '^{')
+echo "$N_OUT"
+
+echo "== 4N: 4 executors x $CORES cores"
+N4_OUT=$("$SUBMIT" --master "local-cluster[4,$CORES,$MEM]" "${COMMON[@]}" \
+  --conf spark.sql.shuffle.partitions=$((CORES * 4)) \
+  --class graft.ScalingRun "$JAR" "$TABLE" "4N" 2>/dev/null | grep '^{')
+echo "$N4_OUT"
+
+python3 - "$N_OUT" "$N4_OUT" "$CORES" <<'EOF'
+import json, sys
+n, n4, cores = json.loads(sys.argv[1]), json.loads(sys.argv[2]), int(sys.argv[3])
+eff = (n4["turns_per_sec"] / n["turns_per_sec"]) / 4
+md = f"""## Scaling evidence (N vs 4N executors) — BENCH/run_scaling.sh
+
+Identical job (read conv_id-bucketed transcripts table -> extract_turn
+every document turn -> count lines), identical on-disk input, run via
+**spark-submit** at two cluster sizes using `local-cluster` (separate
+executor JVMs on one 32-core box):
+
+| cluster | executors x cores | turns | extracted lines | seconds | turns/sec |
+|---|---|---|---|---|---|
+| N  | 1 x {cores} | {n['turns']} | {n['lines']} | {n['seconds']:.2f} | {n['turns_per_sec']:.1f} |
+| 4N | 4 x {cores} | {n4['turns']} | {n4['lines']} | {n4['seconds']:.2f} | {n4['turns_per_sec']:.1f} |
+
+**Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** (target >= 0.8).
+
+Per-size settings: spark.sql.shuffle.partitions = total cores;
+AQE enabled (runtime coalescing + skew-join splitting); ParallelGC on
+executors (the extraction kernel is allocation-heavy); input bucketed
+by pmod(xxhash64(conv_id), 128) with 4 salted files per bucket so
+long-conversation skew amortizes across read tasks. Extraction itself
+is map-only — no shuffle — so scaling is bounded by task scheduling,
+I/O and the shared memory bandwidth of the single test box.
+"""
+open("BENCH/BASELINE.md","w").write(md)
+print(md)
+EOF
+rm -rf "$TABLE"

@@ -182,24 +182,40 @@ object Php {
   def whiteOut(str: String, contd: String): String = {
     val blank = " " * mbLen(contd)
     var s = replaceIgnoreCase(str, contd, blank)
-    s = replaceIgnoreCase(s, contd.replace("'", "’"), blank)
-    s = replaceIgnoreCase(s, contd.replace("'", "‘"), blank)
+    if (contd.indexOf('\'') >= 0) {
+      s = replaceIgnoreCase(s, contd.replace("'", "’"), blank)
+      s = replaceIgnoreCase(s, contd.replace("'", "‘"), blank)
+    }
     s
   }
+
+  /** case-insensitive indexOf without allocating lowercase copies */
+  def indexOfIgnoreCase(s: String, find: String, from: Int): Int = {
+    val n = s.length
+    val m = find.length
+    if (m == 0) return from
+    var i = from
+    val last = n - m
+    while (i <= last) {
+      if (s.regionMatches(true, i, find, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+  def containsIgnoreCase(s: String, find: String): Boolean =
+    indexOfIgnoreCase(s, find, 0) >= 0
 
   /** str_ireplace: ASCII-case-insensitive literal replace of all occurrences. */
   def replaceIgnoreCase(s: String, find: String, repl: String): String = {
     if (find.isEmpty) return s
-    val ls = s.toLowerCase(Locale.ROOT)
-    val lf = find.toLowerCase(Locale.ROOT)
-    var i = ls.indexOf(lf)
+    var i = indexOfIgnoreCase(s, find, 0)
     if (i < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     while (i >= 0) {
       sb.append(s, last, i).append(repl)
       last = i + find.length
-      i = ls.indexOf(lf, last)
+      i = indexOfIgnoreCase(s, find, last)
     }
     sb.append(s, last, s.length)
     sb.toString

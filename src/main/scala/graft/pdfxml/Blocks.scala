@@ -24,15 +24,32 @@ object LooksLike {
       trans3.matcher(s).find() || trans4.matcher(s).find() ||
       trans5.matcher(s).find() || trans6.matcher(s).find())
 
-  private val scene1 = p("^(IN|EX)TERIOR")
-  private val scene2 = p("^(INT|EXT|I/E)[ ./]")
-  private val scene3 = p("[^A-Za-z]CONTINUOUS$")
-  private val timesOfDay = Vector("DAY", "EVENING", "LATER", "MOMENTS LATER",
-    "MORNING", "NIGHT", "SUNSET", "DAWN").map(t => p("[^A-Za-z]" + t + "$"))
+  // the regex forms of these are trivial anchored literals; string ops
+  // avoid the per-call Matcher allocation on this very hot path
+  private val timesOfDay = Array("DAY", "EVENING", "LATER", "MOMENTS LATER",
+    "MORNING", "NIGHT", "SUNSET", "DAWN")
+  @inline private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  /** "[^A-Za-z]LIT$" as a string test */
+  @inline private def endsWithNonAlphaThen(s: String, lit: String): Boolean =
+    s.length > lit.length && s.endsWith(lit) && !isAlpha(s.charAt(s.length - lit.length - 1))
 
-  def sceneheading(s: String): Boolean =
-    scene1.matcher(s).find() || scene2.matcher(s).find() ||
-      scene3.matcher(s).find() || timesOfDay.exists(_.matcher(s).find())
+  def sceneheading(s: String): Boolean = {
+    if (s.startsWith("INTERIOR") || s.startsWith("EXTERIOR")) return true
+    // ^(INT|EXT|I/E)[ ./]
+    if (s.length >= 4) {
+      val c3 = s.charAt(3)
+      if ((c3 == ' ' || c3 == '.' || c3 == '/') &&
+          (s.startsWith("INT") || s.startsWith("EXT") || s.startsWith("I/E"))) return true
+    }
+    if (endsWithNonAlphaThen(s, "CONTINUOUS")) return true
+    var i = 0
+    while (i < timesOfDay.length) {
+      if (endsWithNonAlphaThen(s, timesOfDay(i))) return true
+      i += 1
+    }
+    false
+  }
 
   private val slug1 = p("^TITLE CARD")
   private val slug2 = p("^SERIES OF SHOTS")
@@ -55,11 +72,20 @@ object LooksLike {
   private val voOsNotation = Vector("\\(vo\\)", "\\(os\\)", "\\(oc\\)",
     "\\(v\\. ?o.*\\)", "\\(o\\. ?s.*\\)", "\\(o\\. ?c.*\\)",
     "\\(off[- ]?screen.*\\)").map(pi)
-  def containsVoOsNotation(s: String): Boolean = voOsNotation.exists(_.matcher(s).find())
+  def containsVoOsNotation(s: String): Boolean =
+    s.indexOf('(') >= 0 && voOsNotation.exists(_.matcher(s).find())
 
   private val voOsSuffix = Vector(" vo$", " os$", " oc$", " v\\. ?o.$",
     " o\\. ?s.$", " o\\. ?c.$").map(pi)
-  def containsVoOs(s: String): Boolean = voOsSuffix.exists(_.matcher(s).find())
+  def containsVoOs(s: String): Boolean = {
+    // every pattern needs a space then v/o (any case) near the end
+    val n = s.length
+    if (n < 3) return false
+    val tail = s.substring(math.max(0, n - 6))
+    if (Php.indexOfIgnoreCase(tail, " v", 0) < 0 && Php.indexOfIgnoreCase(tail, " o", 0) < 0)
+      return false
+    voOsSuffix.exists(_.matcher(s).find())
+  }
 
   def parenthetical(s: String): Boolean =
     s.nonEmpty && s.charAt(0) == '(' && s.charAt(s.length - 1) == ')' && !voOrOs(s)
@@ -153,6 +179,11 @@ final class Block(piece: BlockPiece) {
   val textAttributes: ArrayBuffer[Map[String, Vector[Span]]] = ArrayBuffer(piece.textAttributes)
   var numberObject: NumberObj = piece.numberObject
 
+  // joined-text cache: textAndSpans is consulted by several classifier
+  // passes per block; invalidated on every lines mutation
+  private var textCache: String = null
+  def setLine(i: Int, s: String): Unit = { lines(i) = s; textCache = null }
+
   def isBlank: Boolean = height == 1 && lines(0) == ""
   def firstChar: String = Php.mbSubstr(lines(0), 0, 1)
   def lastChar: String = Php.mbSubstr(lines(lines.length - 1), -1)
@@ -175,6 +206,7 @@ final class Block(piece: BlockPiece) {
       this.hangingPunctuation = true
     }
     lines += piece.text
+    textCache = null
     colors += piece.colors
     val rightEdge = piece.x + piece.width
     width = math.max(width, rightEdge - x)
@@ -260,7 +292,24 @@ final class Block(piece: BlockPiece) {
     }
     (result, resultColors, resultTa)
   }
-  def text: String = textAndSpans._1
+  /** joined text only (no span merge) — cached; the hot classifier path */
+  def text: String = {
+    if (textCache == null) {
+      if (lines.length == 1) textCache = lines(0)
+      else {
+        val sb = new java.lang.StringBuilder
+        sb.append(lines(0))
+        var lx = 1
+        while (lx < lines.length) {
+          if (!Block.hyphenEnd.matcher(sb).find()) sb.append(' ')
+          sb.append(lines(lx))
+          lx += 1
+        }
+        textCache = sb.toString
+      }
+    }
+    textCache
+  }
 
   /** definitely_not_character (ParseText.php:2219-2223) */
   def definitelyNotCharacter: Boolean = {
@@ -303,7 +352,7 @@ final class Block(piece: BlockPiece) {
       val oldLine = lines(0)
       val parts = oldLine.split(" ", -1)
       if (parts.nonEmpty && LooksLike.sceneNumber(parts(0))) {
-        lines(0) = Php.trim(parts.drop(1).mkString(" "))
+        setLine(0, Php.trim(parts.drop(1).mkString(" ")))
         x += (Php.mbLen(oldLine) - Php.mbLen(lines(0))) * Consts.DefaultCharWidth
       }
     } else if (height == 1 && LooksLike.transition(lines(0))) {

@@ -78,7 +78,7 @@ object DualDialog {
                     if (splitPos >= 0) {
                       val secondLine = Php.trim(Php.mbSubstr(line, splitPos + 1))
                       val secondX = block.x + (Php.mbLen(line) - Php.mbLen(secondLine)) * Consts.DefaultCharWidth
-                      block.lines(i) = Php.trim(Php.mbSubstr(line, 0, splitPos))
+                      block.setLine(i, Php.trim(Php.mbSubstr(line, 0, splitPos)))
                       val secondWidth = Php.mbLen(secondLine) * Consts.DefaultCharWidth
                       if (math.abs(secondX - prev2.x) > 2 * Consts.DefaultCharWidth) {
                         prev2 = mkBlock(secondLine, secondX, block.y + i, secondWidth,

@@ -52,8 +52,8 @@ final class ColorsList {
   /** __construct/add_colors (ParseText.php:698-771) */
   def addColors(fontObjects: Seq[XNode]): Unit = {
     fontObjects.foreach { fo =>
-      val color = fo.attrs.getOrElse("COLOR", "")
-      val fontId = fo.attrs.getOrElse("ID", "")
+      val color = fo.attrOrElse("COLOR", "")
+      val fontId = fo.attrOrElse("ID", "")
       val existing = entries.indexWhere(_.color == color)
       if (existing >= 0) translation(fontId) = existing
       else {
@@ -144,7 +144,7 @@ object Layout {
   }
 
   private[pdfxml] def attrInt(n: XNode, key: String): Int = {
-    val v = n.attrs.getOrElse(key, "0").trim
+    val v = n.attrOrElse(key, "0").trim
     try v.toInt catch {
       case _: NumberFormatException =>
         try v.toDouble.toInt catch { case _: NumberFormatException => 0 }
@@ -200,7 +200,7 @@ object Layout {
           var px = math.floor(points * Consts.FontConversionRate).toInt
           // pdftohtml 11pt-vs-12pt bug compensation (ParseText.php:320-325)
           if (px >= 13 && px < 16) px = 16
-          fonts(child.attrs.getOrElse("ID", "")) = px
+          fonts(child.attrOrElse("ID", "")) = px
         case _ =>
       }
     }
@@ -250,11 +250,11 @@ object Layout {
           val nonDuplicate = prev match {
             case Some(p) =>
               !(p.node.tag == f.node.tag && p.value == f.value &&
-                p.node.attrs.get("TOP") == f.node.attrs.get("TOP") &&
-                p.node.attrs.get("LEFT") == f.node.attrs.get("LEFT") &&
-                p.node.attrs.get("WIDTH") == f.node.attrs.get("WIDTH") &&
-                p.node.attrs.get("HEIGHT") == f.node.attrs.get("HEIGHT") &&
-                p.node.attrs.get("FONT") == f.node.attrs.get("FONT"))
+                p.node.attr("TOP") == f.node.attr("TOP") &&
+                p.node.attr("LEFT") == f.node.attr("LEFT") &&
+                p.node.attr("WIDTH") == f.node.attr("WIDTH") &&
+                p.node.attr("HEIGHT") == f.node.attr("HEIGHT") &&
+                p.node.attr("FONT") == f.node.attr("FONT"))
             case None => true
           }
           prev = Some(f)
@@ -331,7 +331,7 @@ object Layout {
           } else if (text != "" && objLeft > 520 && Php.mbLen(text) < 7) {
             numberObject = NumberObj(Some(text), left = numberObject.left, right = true)
           } else {
-            val objFontId = f.node.attrs.getOrElse("FONT", "")
+            val objFontId = f.node.attrOrElse("FONT", "")
             val objColorId = colors.getColorId(objFontId)
             val fontPx = fonts.getOrElse(objFontId, 16)
 

@@ -61,7 +61,10 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
         text = prefix + tabstop + Php.mbSubstr(text, tabAt + 1)
         tabAt = Php.mbStrpos(text, "\t")
       }
-      whiteOutMarkers.foreach { m => text = Php.whiteOut(text, m) }
+      // every marker contains CONT or MORE — one case-insensitive scan
+      // gates the 15x3 whiteout replaces (hot path)
+      if (Php.containsIgnoreCase(text, "CONT") || Php.containsIgnoreCase(text, "MORE"))
+        whiteOutMarkers.foreach { m => text = Php.whiteOut(text, m) }
       lo.text = Php.customTrim(text)
     }
 
@@ -445,7 +448,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
           val rightEdge = block.x + Php.mbLen(offendingLine) * Consts.DefaultCharWidth
           if (nextBlock.x <= rightEdge + 5 && punct.matcher(offendingLine).find() &&
               upper.matcher(nextBlock.lines(0)).find()) {
-            block.lines(yOffset) = offendingLine + "  " + nextBlock.lines(0)
+            block.setLine(yOffset, offendingLine + "  " + nextBlock.lines(0))
             val newWidth = (nextBlock.x + nextBlock.width) - block.x
             block.width = math.max(block.width, newWidth)
             removed += (ax + 1)

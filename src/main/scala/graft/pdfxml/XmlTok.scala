@@ -15,36 +15,47 @@ import scala.collection.mutable.ArrayBuffer
   * The grammar is tiny (pdf2xml / page / fontspec / text / b / i / a), so a
   * bespoke char-stream state machine beats a general XML library: zero
   * dependencies and no DOM allocation beyond what the layout pass needs.
+  * Hot-path notes: text is scanned in bulk via indexOf('<'), and attributes
+  * live in two small parallel arrays (a 5-entry linear scan beats a Map for
+  * both build and lookup, and allocates nothing per probe).
   */
 object XmlTok {
 
   /** One XML element as the reference's assoc-array sees it. */
   final class XNode(val tag: String) {
-    var attrs: Map[String, String] = Map.empty
+    private[XmlTok] var attrKeys: Array[String] = XNode.emptyArr
+    private[XmlTok] var attrVals: Array[String] = XNode.emptyArr
     /** full text content (descendants concatenated), entity-decoded */
     var value: String = ""
     /** b/i child spans, inclusive code-point ranges (sxiToArray:76-94) */
     var textAttributes: Map[String, Vector[Span]] = Map.empty
     val children: ArrayBuffer[XNode] = new ArrayBuffer[XNode](2)
+
+    def attr(key: String): String = {
+      var i = 0
+      while (i < attrKeys.length) {
+        if (attrKeys(i) == key) return attrVals(i)
+        i += 1
+      }
+      null
+    }
+    def attrOrElse(key: String, dflt: String): String = {
+      val v = attr(key); if (v == null) dflt else v
+    }
+    /** Map view (compat/tests) */
+    def attrs: Map[String, String] =
+      attrKeys.iterator.zip(attrVals.iterator).toMap
   }
+  private object XNode { val emptyArr = new Array[String](0) }
 
   def parse(xml: String): Vector[XNode] = {
     val root = new XNode("#ROOT")
     var stack: List[XNode] = root :: Nil
-    // per-open-element: pending text pieces as (isElementChild, text) to
-    // compute TEXT-node child spans after close
-    var pieces: List[ArrayBuffer[(String, String)]] = ArrayBuffer.empty[(String, String)] :: Nil
+    // per-open-element: pending (childTagLowerOrEmpty, text) pieces
+    var pieces: List[ArrayBuffer[(String, String)]] = new ArrayBuffer[(String, String)] :: Nil
 
     val n = xml.length
     var i = 0
-    val text = new java.lang.StringBuilder
-
-    def flushText(): Unit = {
-      if (text.length > 0) {
-        pieces.head += (("", decode(text.toString)))
-        text.setLength(0)
-      }
-    }
 
     def closeTop(): Unit = {
       val node = stack.head
@@ -52,50 +63,56 @@ object XmlTok {
       stack = stack.tail
       pieces = pieces.tail
       // assemble value + child spans (code-point offsets; inclusive end)
-      val sb = new java.lang.StringBuilder
-      var handled = 0
-      var ta = node.textAttributes
-      ps.foreach { case (childName, t) =>
-        if (childName.isEmpty) { sb.append(t); handled += Php.mbLen(t) }
-        else {
-          val len = Php.mbLen(t)
-          sb.append(t)
-          // reference records a span even for the degenerate empty child
-          // (end = start - 1); keep identical arithmetic
-          val span = Span(handled, handled + len - 1)
-          ta = ta.updated(childName, ta.getOrElse(childName, Vector.empty) :+ span)
-          handled += len
+      if (ps.length == 1 && ps(0)._1.isEmpty) {
+        node.value = ps(0)._2
+      } else {
+        val sb = new java.lang.StringBuilder
+        var handled = 0
+        var ta = node.textAttributes
+        ps.foreach { case (childName, t) =>
+          if (childName.isEmpty) { sb.append(t); handled += Php.mbLen(t) }
+          else {
+            val len = Php.mbLen(t)
+            sb.append(t)
+            // the reference records a span even for a degenerate empty child
+            // (end = start - 1); keep identical arithmetic
+            val span = Span(handled, handled + len - 1)
+            ta = ta.updated(childName, ta.getOrElse(childName, Vector.empty) :+ span)
+            handled += len
+          }
         }
+        node.value = sb.toString
+        node.textAttributes = ta
       }
-      node.value = sb.toString
-      node.textAttributes = ta
-      // propagate this element's text into the parent's piece list with our
-      // (lower-case) tag name so <text>a<b>x</b>b</text> sees child "b"
+      // surface this element's text into the parent's piece list under the
+      // lower-case tag so <text>a<b>x</b>b</text> sees child "b"
       pieces.head += ((node.tag.toLowerCase, node.value))
       stack.head.children += node
     }
 
     while (i < n) {
-      val c = xml.charAt(i)
-      if (c == '<') {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) {
+        if (i < n) pieces.head += (("", decode(xml.substring(i, n))))
+        i = n
+      } else {
+        if (lt > i) pieces.head += (("", decode(xml.substring(i, lt))))
+        i = lt
         if (xml.startsWith("<!--", i)) {
-          flushText()
           val e = xml.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
-        } else if (xml.startsWith("<?", i) || xml.startsWith("<!", i)) {
-          flushText()
+        } else if (i + 1 < n && (xml.charAt(i + 1) == '?' || xml.charAt(i + 1) == '!')) {
           val e = xml.indexOf('>', i); i = if (e < 0) n else e + 1
         } else if (i + 1 < n && xml.charAt(i + 1) == '/') {
-          flushText()
           val e = xml.indexOf('>', i)
           i = if (e < 0) n else e + 1
           if (stack.size > 1) closeTop()
-        } else {
-          flushText()
+        } else if (i + 1 < n) {
           var j = i + 1
           val ns = j
           while (j < n && !isWs(xml.charAt(j)) && xml.charAt(j) != '>' && xml.charAt(j) != '/') j += 1
           val name = xml.substring(ns, j).toUpperCase
-          var attrs = Map.empty[String, String]
+          var keys: ArrayBuffer[String] = null
+          var vals: ArrayBuffer[String] = null
           var selfClose = false
           var done = false
           while (!done && j < n) {
@@ -127,12 +144,16 @@ object XmlTok {
                     avalue = xml.substring(vs, j)
                   }
                 }
-                if (aname.nonEmpty) attrs = attrs.updated(aname, decode(avalue))
+                if (aname.nonEmpty) {
+                  if (keys == null) { keys = new ArrayBuffer[String](6); vals = new ArrayBuffer[String](6) }
+                  keys += aname
+                  vals += decode(avalue)
+                }
             }
           }
           i = j
           val node = new XNode(name)
-          node.attrs = attrs
+          if (keys != null) { node.attrKeys = keys.toArray; node.attrVals = vals.toArray }
           if (selfClose) {
             pieces.head += ((name.toLowerCase, ""))
             stack.head.children += node
@@ -140,12 +161,11 @@ object XmlTok {
             stack = node :: stack
             pieces = new ArrayBuffer[(String, String)] :: pieces
           }
+        } else {
+          i = n
         }
-      } else {
-        text.append(c); i += 1
       }
     }
-    flushText()
     while (stack.size > 1) closeTop()
     root.children.toVector
   }

@@ -30,10 +30,18 @@ object Pipeline {
 
   /** One row per extracted line, in stable (conv_id, turn_idx, line_idx)
     * order-key form.
+    *
+    * posexplode_OUTER on purpose: with a non-outer generate, Catalyst's
+    * InferFiltersFromGenerate pushes `size(extract_turn(text).lines) > 0 &&
+    * isnotnull(...)` below the projection, duplicating the (expensive)
+    * extraction into the filter — 3 evaluations per row. The outer variant
+    * infers no filter, so extraction runs exactly once; the cheap
+    * `line is not null` below restores non-outer semantics.
     */
   def lines(extractedDf: DataFrame): DataFrame =
     extractedDf.select(col("conv_id"), col("turn_idx"),
-        posexplode(col("ex.lines")).as(Seq("line_idx", "line")))
+        posexplode_outer(col("ex.lines")).as(Seq("line_idx", "line")))
+      .filter(col("line").isNotNull)
       .select(col("conv_id"), col("turn_idx"), col("line_idx"),
         col("line.kind").as("kind"), col("line.type").as("type"),
         col("line.text").as("text"), col("line.page_num").as("page_num"),

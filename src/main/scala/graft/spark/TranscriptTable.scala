@@ -33,11 +33,18 @@ object TranscriptTable {
 
   def bucketCol(nBuckets: Int) = pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int")
 
-  /** Write a conv_id-bucketed table + snapshot metadata. */
-  def write(df: DataFrame, root: String, nBuckets: Int, snapshotId: Long): Unit = {
+  /** Write a conv_id-bucketed table + snapshot metadata.
+    *
+    * `filesPerBucket` salts the repartition inside each bucket so a bucket
+    * is several parquet files: long-conversation skew then amortizes over
+    * several read tasks instead of one straggler per bucket.
+    */
+  def write(df: DataFrame, root: String, nBuckets: Int, snapshotId: Long,
+      filesPerBucket: Int = 4): Unit = {
     val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
     withBucket
-      .repartition(nBuckets, col("bucket"))
+      .repartition(nBuckets * filesPerBucket, col("bucket"),
+        pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
       .sortWithinPartitions("conv_id", "turn_idx") // stable order within files
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.spark.{Pipeline, Transcripts}
+import graft.SparkEntry
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI: print formatted physical plans for the load-bearing queries so
+  * pushdown / pruning / codegen / expression-duplication can be inspected.
+  *
+  * Usage: runMain graft.tools.Explain [sfDir]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n==================== $name ====================")
+      df.explain("formatted")
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "extract_turn".r.findAllIn(plan).length
+      if (n > 0) println(s"[extract_turn occurrences in physical plan: $n]")
+    }
+
+    val transcripts = Transcripts.synthesize(spark, 5, seed = 42L).toDF()
+    show("extracted+lines (explode path)",
+      Pipeline.lines(Pipeline.extracted(transcripts)))
+    show("extracted with derived cols (checkpoint path)",
+      Pipeline.extracted(transcripts)
+        .withColumn("n_lines", size(col("ex.lines")))
+        .withColumn("bytes", col("ex.bytes")))
+    show("q02_filter_pushdown", SparkEntry.queries("q02_filter_pushdown")(spark, sfDir))
+    show("q04_join_4way", SparkEntry.queries("q04_join_4way")(spark, sfDir))
+    show("q18_extract_verify", SparkEntry.queries("q18_extract_verify")(spark, sfDir))
+    spark.stop()
+  }
+}
