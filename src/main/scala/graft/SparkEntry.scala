@@ -186,6 +186,24 @@ object SparkEntry {
       val transcripts = Transcripts.synthesize(s, nConvsFor(dir), seed = 42L).toDF()
       val lines = Pipeline.lines(Pipeline.extracted(transcripts))
       Pipeline.characterCounts(Pipeline.dialog(lines)).limit(20)
+    }),
+    "q22_multimodal_stats" -> ((s, dir) => {
+      val n = nConvsFor(dir) * 5
+      graft.ops.Multimodal.stats(
+        graft.ops.Multimodal.features(graft.ops.Multimodal.synthesize(s, n)))
+        .select(col("kind"), col("n"), col("total_bytes"), col("total_frames"))
+    }),
+    "q23_stream_windows" -> ((s, dir) => {
+      // incremental extraction over a file stream, AvailableNow-triggered
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q23").toString
+      Transcripts.synthesize(s, math.min(nConvsFor(dir), 100L), seed = 42L).toDF()
+        .write.mode("overwrite").parquet(tmp)
+      val q = graft.streaming.StreamingExtract.startMemory(
+        graft.streaming.StreamingExtract.extractedStream(
+          graft.streaming.StreamingExtract.readTranscripts(s, tmp)),
+        "q23_out")
+      q.awaitTermination(120000)
+      s.sql("SELECT format, COUNT(*) AS n_turns, SUM(n_lines) AS n_lines FROM q23_out GROUP BY format ORDER BY format")
     })
   )
 

@@ -241,6 +241,38 @@ object Php {
     sb.toString
   }
 
+  /** ends_sentence (ParseText.php:2519-2552): peel one trailing quote,
+    * exclude "...", exclude title abbreviations (Mr., Dr., ...) unless part
+    * of a larger word.
+    */
+  private val sentenceEnds = Set('.', '!', '?')
+  private val titleAbbrevs = Vector("Mrs.", "Mr.", "Ms.", "Prof.", "Dr.",
+    "Gen.", "Rep.", "Sen.", "St.", "Sr.", "Jr.", "Ph.D.", "M.D.", "B.A.",
+    "M.A.", "D.D.S.")
+  def endsSentence(str0: String): Boolean = {
+    var str = str0
+    if (str.isEmpty) return false
+    var last = str.charAt(str.length - 1)
+    if (last == '"' || last == '\'') {
+      str = str.substring(0, str.length - 1)
+      if (str.isEmpty) return false
+      last = str.charAt(str.length - 1)
+    }
+    if (last == '.' && str.length >= 2 && str.charAt(str.length - 2) == '.')
+      return false // "..." is not a sentence end
+    if (!sentenceEnds.contains(last)) return false
+    if (last == '.') {
+      titleAbbrevs.foreach { t =>
+        if (isSuffix(str, t, caseSensitive = false)) {
+          val prevIdx = str.length - t.length - 1
+          val prev = if (prevIdx >= 0) str.charAt(prevIdx) else ' '
+          if (!ctypeAlnum(prev)) return false
+        }
+      }
+    }
+    true
+  }
+
   /** sentence_count (Utilities.php:43-50). */
   def sentenceCount(s: String): Int =
     1 + Seq(".  ", "!  ", "?  ").map(p => countOccurrences(s, p)).sum
