@@ -70,20 +70,38 @@ object Php {
   /** PHP trim()'s default charlist: " \t\n\r\0\x0B" */
   private val phpTrimChars: Set[Char] = Set(' ', '\t', '\n', '\r', '\u0000', '\u000B')
 
-  def trim(s: String): String = trim(s, phpTrimChars)
-  def ltrim(s: String): String = ltrim(s, phpTrimChars)
-  def rtrim(s: String): String = rtrim(s, phpTrimChars)
+  def trim(s: String): String = rtrimBy(ltrimBy(s, isPhpTrimChar), isPhpTrimChar)
+  def ltrim(s: String): String = ltrimBy(s, isPhpTrimChar)
+  def rtrim(s: String): String = rtrimBy(s, isPhpTrimChar)
 
   def trim(s: String, chars: Set[Char]): String = rtrim(ltrim(s, chars), chars)
   def ltrim(s: String, chars: Set[Char]): String = {
     var i = 0
     while (i < s.length && chars.contains(s.charAt(i))) i += 1
-    s.substring(i)
+    if (i == 0) s else s.substring(i)
   }
   def rtrim(s: String, chars: Set[Char]): String = {
     var j = s.length
     while (j > 0 && chars.contains(s.charAt(j - 1))) j -= 1
-    s.substring(0, j)
+    if (j == s.length) s else s.substring(0, j)
+  }
+
+  // allocation-free trim fast paths (hot in the per-line layout loops)
+  @inline private def isPhpTrimChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u0000' || c == '\u000B'
+  @inline private def isCustomTrimChar(c: Char): Boolean =
+    isPhpTrimChar(c) || c == '\f'
+  @inline private def isNbspTrimChar(c: Char): Boolean =
+    isPhpTrimChar(c) || c == '\u00A0'
+  private def ltrimBy(s: String, p: Char => Boolean): String = {
+    var i = 0
+    while (i < s.length && p(s.charAt(i))) i += 1
+    if (i == 0) s else s.substring(i)
+  }
+  private def rtrimBy(s: String, p: Char => Boolean): String = {
+    var j = s.length
+    while (j > 0 && p(s.charAt(j - 1))) j -= 1
+    if (j == s.length) s else s.substring(0, j)
   }
 
   /** `rtrim($x, " \n\r\t\v\x00" . chr(0xC2).chr(0xA0))` as used at
@@ -92,16 +110,16 @@ object Php {
     * effect is exactly this set.)
     */
   val nbspTrimChars: Set[Char] = Set(' ', '\n', '\r', '\t', '\u000B', '\u0000', '\u00A0')
-  def rtrimNbsp(s: String): String = rtrim(s, nbspTrimChars)
+  def rtrimNbsp(s: String): String = rtrimBy(s, isNbspTrimChar)
 
   /** customLtrim / customRtrim (ParseText.php:15-22):
     * preg '[\s\x00]+' with /u but without PCRE_UCP, i.e. ASCII \s + NUL:
     * [ \t\n\r\f\v\0 ].
     */
   val customTrimChars: Set[Char] = Set(' ', '\t', '\n', '\r', '\f', '\u000B', '\u0000')
-  def customLtrim(s: String): String = ltrim(s, customTrimChars)
-  def customRtrim(s: String): String = rtrim(s, customTrimChars)
-  def customTrim(s: String): String = trim(s, customTrimChars)
+  def customLtrim(s: String): String = ltrimBy(s, isCustomTrimChar)
+  def customRtrim(s: String): String = rtrimBy(s, isCustomTrimChar)
+  def customTrim(s: String): String = rtrimBy(ltrimBy(s, isCustomTrimChar), isCustomTrimChar)
 
   /** reduce_spaces (UniversalUtilities.php:140-143): [[:blank:]]+ -> " "
     * ([:blank:] = space + tab).
@@ -161,8 +179,24 @@ object Php {
     if (!has) s else s.filter(c => c < 15 || c > 30)
   }
 
-  /** is_uppercase (UniversalUtilities.php:39-42): str equals its uppercase. */
-  def isUppercase(s: String): Boolean = s == s.toUpperCase(Locale.ROOT)
+  /** is_uppercase (UniversalUtilities.php:39-42): str equals its uppercase.
+    * Allocation-free single pass for strings without non-ASCII letters
+    * (locale-special casings like ß fall back to the full comparison).
+    */
+  def isUppercase(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 128) {
+        if (c >= 'a' && c <= 'z') return false
+      } else {
+        return s == s.toUpperCase(Locale.ROOT)
+      }
+      i += 1
+    }
+    true
+  }
 
   /** is_prefix / is_suffix (UniversalUtilities.php:17-37). */
   def isPrefix(s: String, prefix: String, caseSensitive: Boolean = true): Boolean =

@@ -109,9 +109,13 @@ object LooksLike {
   private val pageNum1 = p("^[0-9]+[A-Z]?\\.?$")
   private val pageNum2 = p("^\\([0-9]+[A-Z]?\\.?\\)$")
   def pageNumber(s: String): Boolean =
-    pageNum1.matcher(s).find() || pageNum2.matcher(s).find()
+    s.nonEmpty && (pageNum1.matcher(s).find() || pageNum2.matcher(s).find())
 
-  def sceneNumber(s: String): Boolean = pageNum1.matcher(s).find()
+  def sceneNumber(s: String): Boolean = {
+    // ^[0-9]+[A-Z]?\.?$ — gate on a leading digit before the regex
+    s.nonEmpty && s.charAt(0) >= '0' && s.charAt(0) <= '9' &&
+      pageNum1.matcher(s).find()
+  }
 
   private val hruleRe = p("^[-]*$")
   def hrule(s: String): Boolean = s.length > 10 && hruleRe.matcher(s).find()
@@ -127,8 +131,20 @@ object LooksLike {
   private val date1 = p("^(.*[^0-9])?[0-9]?[0-9][-./][0-9]?[0-9][-./][0-9][0-9]([^0-9].*)?$")
   private val date2 = p("^(.*[^0-9])?[0-9]?[0-9][-./][0-9]?[0-9][-./](19|20)[0-9][0-9]([^0-9].*)?$")
   private val date3 = p("^(.*[^0-9])?(19|20)[0-9][0-9][-./][0-9]?[0-9][-./][0-9]?[0-9]([^0-9].*)?$")
-  def containsDate(s: String): Boolean =
-    date1.matcher(s).find() || date2.matcher(s).find() || date3.matcher(s).find()
+  def containsDate(s: String): Boolean = {
+    // all three patterns need a digit and a -./ separator — cheap gate
+    var hasDigit = false
+    var hasSep = false
+    var i = 0
+    while (i < s.length && !(hasDigit && hasSep)) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') hasDigit = true
+      else if (c == '-' || c == '.' || c == '/') hasSep = true
+      i += 1
+    }
+    hasDigit && hasSep &&
+      (date1.matcher(s).find() || date2.matcher(s).find() || date3.matcher(s).find())
+  }
 }
 
 /** get_series_indent (ParseText.php:1900-1920) — stateful via

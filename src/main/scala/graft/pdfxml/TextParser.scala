@@ -26,6 +26,21 @@ object Alignment {
   * ParseText.php:991-1793). One instance per document; `parsePage` is
   * called once per formfeed-delimited page in order.
   */
+object TextParser {
+  /** one pass: any case-insensitive "CONT" or "MORE" substring? */
+  private[pdfxml] def hasContOrMore(s: String): Boolean = {
+    var i = 0
+    val n = s.length - 3
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c == 'C' || c == 'c') && s.regionMatches(true, i + 1, "ONT", 0, 3)) return true
+      if ((c == 'M' || c == 'm') && s.regionMatches(true, i + 1, "ORE", 0, 3)) return true
+      i += 1
+    }
+    false
+  }
+}
+
 final class TextParser(val colors: ColorsList, flags: DocFlags) {
   val objects: ArrayBuffer[ScriptLine] = ArrayBuffer.empty
   var numPages: Int = 0
@@ -61,9 +76,9 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
         text = prefix + tabstop + Php.mbSubstr(text, tabAt + 1)
         tabAt = Php.mbStrpos(text, "\t")
       }
-      // every marker contains CONT or MORE — one case-insensitive scan
-      // gates the 15x3 whiteout replaces (hot path)
-      if (Php.containsIgnoreCase(text, "CONT") || Php.containsIgnoreCase(text, "MORE"))
+      // every marker contains CONT or MORE — one single-pass scan gates
+      // the 15x3 whiteout replaces (hot path)
+      if (TextParser.hasContOrMore(text))
         whiteOutMarkers.foreach { m => text = Php.whiteOut(text, m) }
       lo.text = Php.customTrim(text)
     }
