@@ -17,22 +17,41 @@ object Bench {
     .appName("graft-bench")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
+    // the extraction kernel costs ~0.5 ms/row, so scan splits must be
+    // CPU-balanced, not byte-balanced: with the 128 MB default a small
+    // corpus collapses into one task and extraction runs single-threaded
+    .config("spark.sql.files.maxPartitionBytes", "4m")
+    .config("spark.sql.files.openCostInBytes", "262144")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** extraction benchmark: (turns, seconds, mismatches) */
+  /** extraction benchmark: (turns, seconds, mismatches). Input and goldens
+    * are materialized to parquet first (untimed) so the measured job is
+    * the real workload: scan -> extract_turn -> verification join.
+    */
   def extractionBench(spark: SparkSession, nConvs: Long, par: Int): (Long, Double, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    Transcripts.synthesize(spark, nConvs, seed = 42L, parallelism = par).toDF()
+      .write.mode("overwrite").parquet(s"$dir/transcripts")
+    Transcripts.goldens(spark, nConvs, seed = 42L, parallelism = par).toDF()
+      .write.mode("overwrite").parquet(s"$dir/goldens")
+    def job(): (Long, Long) = {
+      val transcripts = spark.read.parquet(s"$dir/transcripts")
+      val goldens = spark.read.parquet(s"$dir/goldens")
+      val verdicts = Pipeline.verifyByHash(
+        Pipeline.lines(Pipeline.extracted(transcripts)), goldens)
+      val row = verdicts
+        .agg(count(lit(1)).as("turns"),
+          sum(when(col("turn_ok") === 0, 1).otherwise(0)).as("mismatches"))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    job() // warm-up
     val t0 = System.nanoTime()
-    val transcripts = Transcripts.synthesize(spark, nConvs, seed = 42L, parallelism = par).toDF()
-    val goldens = Transcripts.goldens(spark, nConvs, seed = 42L, parallelism = par).toDF()
-    val verified = Pipeline.verify(Pipeline.lines(Pipeline.extracted(transcripts)), goldens)
-    val row = Pipeline.turnVerdicts(verified)
-      .agg(count(lit(1)).as("turns"),
-        sum(when(col("turn_ok") === 0, 1).otherwise(0)).as("mismatches"))
-      .head()
+    val (turns, mismatches) = job()
     val secs = (System.nanoTime() - t0) / 1e9
-    (row.getLong(0), secs, row.getLong(1))
+    (turns, secs, mismatches)
   }
 
   def main(args: Array[String]): Unit = {
@@ -48,7 +67,7 @@ object Bench {
     }
 
     // headline: extraction turns/sec with per-turn equality
-    val nConvs = if (sfDir.contains("0.1")) 2000L else if (sfDir.contains("0.01")) 400L else 80L
+    val nConvs = if (sfDir.contains("0.1")) 20000L else if (sfDir.contains("0.01")) 2000L else 200L
     val (turns, exSecs, mismatches) = extractionBench(spark, nConvs, cpus.toInt)
     val turnsPerSec = if (exSecs > 0) turns / exSecs else 0.0
 

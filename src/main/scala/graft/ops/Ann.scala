@@ -67,6 +67,23 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** All candidate pairs sharing an LSH bucket, scored with exact cosine
+    * (the building block for embedding-based near-dup detection).
+    */
+  def candidatePairs(df: DataFrame, nPlanes: Int, nTables: Int, seed: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = base.withColumn("tb", explode(array((0 until nTables).map { t =>
+      struct(lit(t).as("table_id"), bucketUdf(seed, nPlanes, t)(col("vec")).as("bucket"))
+    }: _*))).select(col("id"), col("vec"), col("tb.table_id"), col("tb.bucket"))
+    val a = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosineUdf(col("vec_a"), col("vec_b")))
+  }
+
   /** Hyperplane-LSH bucketed ANN top-k. Recall grows with nTables;
     * candidates per query shrink ~2^-nPlanes per table.
     */

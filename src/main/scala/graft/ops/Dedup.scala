@@ -87,4 +87,18 @@ object Dedup {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
+
+  /** Embedding-cosine near-dup pairs: hyperplane-LSH buckets (see
+    * graft.ops.Ann) prune the candidate space, then exact cosine filters
+    * at `threshold`. Shuffles once on the bucket key; never crosses the
+    * full n^2 pair space.
+    */
+  def embeddingCosinePairs(df: DataFrame, threshold: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 8, nTables: Int = 6, seed: Long = 42L): DataFrame = {
+    val pairs = Ann.candidatePairs(df, nPlanes, nTables, seed, idCol, vecCol)
+    pairs.filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -112,5 +112,31 @@ object Pipeline {
       .agg(min(when(col("ok"), 1).otherwise(0)).as("turn_ok"),
         count(lit(1)).as("n_lines"))
 
+  /** Scale-path verification: per-turn content hashes instead of a
+    * per-LINE join. Each side aggregates bit_xor(xxhash64(line_idx,
+    * fields)) per turn — position-sensitive because line_idx is hashed in,
+    * overflow-free under ANSI mode, and each (line_idx, content) term is
+    * unique per turn so XOR cancellation cannot hide differences — then a
+    * turn-level join compares (hash, count). At 10^12 turns this joins
+    * ~70x fewer rows than [[verify]] and the aggregation is map-side
+    * combinable. Returns (conv_id, turn_idx, turn_ok).
+    */
+  def verifyByHash(linesDf: DataFrame, goldens: DataFrame): DataFrame = {
+    def digest(df: DataFrame): DataFrame =
+      df.withColumn("lh", xxhash64(col("line_idx"), col("kind"), col("text"),
+          col("page_num"), col("given_page_num")))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(expr("bit_xor(lh)").as("h"), count(lit(1)).as("n"))
+    val a = digest(linesDf.select(col("conv_id"), col("turn_idx"), col("line_idx"),
+      col("kind"), col("text"), col("page_num"), col("given_page_num")))
+    val b = digest(goldens.select(col("conv_id"), col("turn_idx"), col("line_idx"),
+      col("kind"), col("text"), col("page_num"), col("given_page_num")))
+      .withColumnRenamed("h", "g_h").withColumnRenamed("n", "g_n")
+    a.join(b, Seq("conv_id", "turn_idx"), "full_outer")
+      .withColumn("turn_ok",
+        when(col("h") <=> col("g_h") && col("n") <=> col("g_n"), 1).otherwise(0))
+      .select(col("conv_id"), col("turn_idx"), col("turn_ok"))
+  }
+
   def extractTurnCol(c: Column): Column = ExtractTurn(c)
 }

@@ -40,6 +40,25 @@ class SparkPipelineSpec extends AnyFunSuite {
     verified.unpersist()
   }
 
+  test("verifyByHash agrees with the per-line join and detects perturbations") {
+    val sp = spark
+    val transcripts = Transcripts.synthesize(sp, 12, seed = 21L).toDF()
+    val goldens = Transcripts.goldens(sp, 12, seed = 21L).toDF()
+    val lines = Pipeline.lines(Pipeline.extracted(transcripts)).cache()
+    val byHash = Pipeline.verifyByHash(lines, goldens)
+    assert(byHash.filter(col("turn_ok") === 0).count() == 0)
+    val nTurns = byHash.count()
+    assert(nTurns == Pipeline.turnVerdicts(Pipeline.verify(lines, goldens)).count())
+    // perturb one golden line -> exactly that turn flips to mismatch
+    val perturbed = goldens.withColumn("text",
+      when(col("turn_idx") === 1 && col("line_idx") === 20, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val bad = Pipeline.verifyByHash(lines, perturbed).filter(col("turn_ok") === 0)
+    assert(bad.count() > 0)
+    assert(bad.select("turn_idx").distinct().collect().map(_.getInt(0)).toSet == Set(1))
+    lines.unpersist()
+  }
+
   test("SQL registration and sniffing") {
     val sp = spark
     ExtractTurn.register(sp)
