@@ -74,7 +74,13 @@ object ScreenplayGen {
       headerText: String = "",   // e.g. "MY SCRIPT - draft"
       pageNumbers: Boolean = true,
       title: String = "A Synthetic Script",
-      author: String = "Gen Erator")
+      author: String = "Gen Erator",
+      /** split body lines into two fragments with an exact pixel gap and
+        * jitter the second fragment's top by ±2 px — the extractor's
+        * y-cluster + gap-merge must reassemble them, leaving the expected
+        * output unchanged (G1/G2 invariance)
+        */
+      fragmentJitter: Boolean = false)
 
   /** Render elements to pdftohtml-style XML and derive the expected
     * extraction output.
@@ -105,8 +111,27 @@ object ScreenplayGen {
     }
     def closePage(): Unit = xml.append("</page>\n")
 
-    def textLine(top: Int, left: Int, s: String): Unit =
-      xml.append(s"""\t<text top="$top" left="$left" width="${s.length * charW}" height="$lineH" font="0">${esc(s)}</text>\n""")
+    val jitterRnd = new java.util.SplittableRandom(0x5eed)
+    def textLine(top: Int, left: Int, s: String): Unit = {
+      // split at a single-space word boundary roughly mid-line; the two
+      // fragments abut exactly (gap < 7px adds 0 spaces; the space char
+      // stays at the end of the first fragment so content is identical)
+      val mid = s.indexOf(' ', s.length / 2)
+      // don't split right-aligned/short lines: a fragment under 7 chars
+      // past x=520 is a margin line number by the reference's rules
+      // (ParseText.php:498-502) and would legitimately be captured
+      if (opts.fragmentJitter && mid > 0 && mid < s.length - 1 &&
+          left < 480 && s.length - mid >= 8) {
+        val a = s.substring(0, mid + 1) // keep the space
+        val b = s.substring(mid + 1)
+        val leftB = left + a.length * charW
+        val jitter = jitterRnd.nextInt(5) - 2 // -2..2
+        xml.append(s"""\t<text top="$top" left="$left" width="${a.length * charW}" height="$lineH" font="0">${esc(a)}</text>\n""")
+        xml.append(s"""\t<text top="${top + jitter}" left="$leftB" width="${b.length * charW}" height="$lineH" font="0">${esc(b)}</text>\n""")
+      } else {
+        xml.append(s"""\t<text top="$top" left="$left" width="${s.length * charW}" height="$lineH" font="0">${esc(s)}</text>\n""")
+      }
+    }
 
     // title page (fly page): a handful of centered lines
     if (opts.titlePage) {
