@@ -193,6 +193,11 @@ object SparkEntry {
         graft.ops.Multimodal.features(graft.ops.Multimodal.synthesize(s, n)))
         .select(col("kind"), col("n"), col("total_bytes"), col("total_frames"))
     }),
+    "q24_speakers_split" -> ((s, dir) => {
+      // A6 with reference-faithful multi-speaker heading splitting
+      val transcripts = Transcripts.synthesize(s, nConvsFor(dir), seed = 42L).toDF()
+      Pipeline.speakerCounts(Pipeline.lines(Pipeline.extracted(transcripts))).limit(20)
+    }),
     "q23_stream_windows" -> ((s, dir) => {
       // incremental extraction over a file stream, AvailableNow-triggered
       val tmp = java.nio.file.Files.createTempDirectory("graft_q23").toString

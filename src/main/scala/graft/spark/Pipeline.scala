@@ -139,4 +139,39 @@ object Pipeline {
   }
 
   def extractTurnCol(c: Column): Column = ExtractTurn(c)
+
+  /** Speaker table with reference-faithful name handling: a Character
+    * heading like "MARCELLUS & BERNARDO (V.O.)" splits into one row per
+    * speaker with the modifier peeled (Analyzer.php:399-463 semantics via
+    * graft.analyze.DocAnalyzer), then dialogue lines attribute to every
+    * speaker of the current heading.
+    */
+  def speakers(linesDf: DataFrame): DataFrame = {
+    val sp = linesDf.sparkSession
+    import sp.implicits._
+    val splitNames = udf { (heading: String) =>
+      graft.analyze.DocAnalyzer.splitCharacterNames(heading).map { piece =>
+        val (nm, mod) = graft.analyze.DocAnalyzer.splitCharacterModifier(piece)
+        val modifier = if (mod == "CONT'D" || mod == "CONT’D") "" else mod
+        (graft.analyze.DocAnalyzer.normalizeName(nm), modifier)
+      }.filter(_._1.nonEmpty)
+    }
+    val w = orderedWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    linesDf
+      .withColumn("heading",
+        last(when(col("type") === "Character", col("text")), ignoreNulls = true).over(w))
+      .filter(col("type") === "Dialogue" && col("heading").isNotNull)
+      .withColumn("speaker_mod", explode(splitNames(col("heading"))))
+      .select(col("conv_id"), col("turn_idx"), col("line_idx"),
+        col("speaker_mod._1").as("speaker"), col("speaker_mod._2").as("modifier"),
+        col("text"))
+  }
+
+  /** A6 with reference name-splitting: dialogue counts per individual
+    * speaker.
+    */
+  def speakerCounts(linesDf: DataFrame): DataFrame =
+    speakers(linesDf).groupBy(col("speaker"))
+      .agg(count(lit(1)).as("n_dialog"))
+      .orderBy(desc("n_dialog"), asc("speaker"))
 }

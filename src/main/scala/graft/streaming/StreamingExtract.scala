@@ -47,4 +47,38 @@ object StreamingExtract {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** per-conversation running extraction state (turns seen, lines, bytes)
+    * maintained with mapGroupsWithState — the custom-state streaming
+    * surface (KeyValueGroupedDataset) over the extraction stream.
+    */
+  final case class ConvState(turns: Long, lines: Long, bytes: Long)
+  final case class ConvProgress(conv_id: String, turns: Long, lines: Long, bytes: Long)
+
+  def conversationState(extracted: DataFrame): org.apache.spark.sql.Dataset[ConvProgress] = {
+    val sp = extracted.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    extracted
+      .select(col("conv_id"), col("n_lines").cast("long"), col("bytes").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (convId: String, rows: Iterator[(String, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[ConvState]) =>
+          var s = state.getOption.getOrElse(ConvState(0, 0, 0))
+          rows.foreach { case (_, l, b) => s = ConvState(s.turns + 1, s.lines + l, s.bytes + b) }
+          state.update(s)
+          ConvProgress(convId, s.turns, s.lines, s.bytes)
+      }
+  }
+
+  /** memory-sink runner for the stateful stream (update output mode) */
+  def startStateMemory(ds: org.apache.spark.sql.Dataset[ConvProgress], name: String): StreamingQuery =
+    ds.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

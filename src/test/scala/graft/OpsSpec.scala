@@ -92,6 +92,26 @@ class OpsSpec extends AnyFunSuite {
     assert(stats.count() == 3)
   }
 
+  test("streaming: per-conversation state via mapGroupsWithState") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    Transcripts.synthesize(sp, 5, seed = 9L).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val stream = StreamingExtract.extractedStream(StreamingExtract.readTranscripts(sp, dir))
+    val q = StreamingExtract.startStateMemory(
+      StreamingExtract.conversationState(stream), "conv_state")
+    q.awaitTermination(60000)
+    // last update per conversation must equal the batch totals
+    val got = sp.sql(
+      """SELECT conv_id, max(turns) AS turns FROM conv_state GROUP BY conv_id""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = sp.read.parquet(dir)
+      .filter(col("tool").isin("pdftohtml", "shakespeare"))
+      .groupBy("conv_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("streaming: incremental extraction over a growing directory") {
     val sp = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString

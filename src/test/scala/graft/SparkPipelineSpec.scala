@@ -92,6 +92,30 @@ class SparkPipelineSpec extends AnyFunSuite {
     lines.unpersist()
   }
 
+  test("speakers: multi-speaker headings split into individual speakers") {
+    val sp = spark
+    import sp.implicits._
+    // Shakespeare payloads produce "A & B" merged headings
+    val transcripts = Transcripts.synthesize(sp, 30, seed = 13L).toDF()
+    val lines = Pipeline.lines(Pipeline.extracted(transcripts)).cache()
+    val headings = lines.filter(col("type") === "Character" && col("text").contains(" & "))
+    assert(headings.count() > 0, "corpus has no merged speaker headings")
+    val speakers = Pipeline.speakers(lines)
+    val names = speakers.select("speaker").distinct().collect().map(_.getString(0))
+    assert(names.nonEmpty && names.forall(n => !n.contains("&")))
+    lines.unpersist()
+  }
+
+  test("reference parity: single-page documents extract to zero objects") {
+    // ParseText.php:645 passes an undefined variable in the non-formfeed
+    // branch, so a single-page document yields no output — replicated
+    val onePage = "<pdf2xml><page number=\"1\" height=\"1188\" width=\"918\">" +
+      "<fontspec id=\"0\" size=\"12\" color=\"#000000\"/>" +
+      "<text top=\"79\" left=\"108\" width=\"105\" height=\"17\" font=\"0\">INT. BARN - DAY</text>" +
+      "</page></pdf2xml>"
+    assert(graft.pdfxml.PdfXml.parse(onePage).objects.isEmpty)
+  }
+
   test("iceberg-style table: bucketed write, checkpointed extract, resume") {
     val sp = spark
     val root = java.nio.file.Files.createTempDirectory("graft_table").toString
