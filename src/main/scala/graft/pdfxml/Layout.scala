@@ -76,9 +76,13 @@ final class ColorsList {
     * non-special color; every page adds the name as a possible name.
     */
   def updateIdsWithName(ids: Seq[Int], possibleName: String, pageNum: Int): Unit = {
+    // ids referencing no registered color are ignored, like the
+    // reference's "ID not available" print-and-continue branches
+    // (ParseText.php:827-829, 842-844)
+    def known(id: Int): Boolean = id >= 0 && id < entries.length
     if (ids.length < 3) {
       ids.foreach { id =>
-        if (!specialCase(id)) {
+        if (known(id) && !specialCase(id)) {
           // handle_key_name: first write per page wins for that color
           val e = entries(id)
           if (!e.keyNames.contains(pageNum)) e.keyNames(pageNum) = possibleName
@@ -86,7 +90,7 @@ final class ColorsList {
       }
     }
     ids.foreach { id =>
-      if (!specialCase(id)) {
+      if (known(id) && !specialCase(id)) {
         val e = entries(id)
         e.possibleNames(possibleName) = e.possibleNames.getOrElse(possibleName, 0) + 1
       }

@@ -97,8 +97,19 @@ object ExtractTurn {
     }
   }
 
+  /** Oversized-payload guard: the reference rejects uploads over 20 MB
+    * (convert_script.controller.ts:96-98); at 10^12-turn scale a rogue
+    * multi-hundred-MB payload must not stall an executor task. Such turns
+    * extract to format "oversized" with no lines (counted, not crashed).
+    */
+  val MaxPayloadBytes: Int = 20 * 1024 * 1024
+
   /** plain-Scala extraction (used by the Expression and by tests) */
   def extract(text: String): ExtractedTurn = {
+    if (text.length > MaxPayloadBytes)
+      return ExtractedTurn("oversized", Seq.empty, "Letter", 0,
+        sceneContinuedTop = false, sceneContinuedBottom = false,
+        sceneContinuedNumber = false, Seq.empty, text.length)
     val format = sniffFormat(text)
     format match {
       case "shakespeare" =>

@@ -98,6 +98,24 @@ class PdfXmlFixture2Spec extends AnyFunSuite {
     assert(kinds(5)._2.contains("We should stay."))
   }
 
+  test("C10 split path: merged dual-dialog lines split on the widest gap") {
+    // columns inside ONE piece (7-space gap < the 12-space piece splitter):
+    // the dual pass must split each line left of character2.x
+    val r = PdfXml.parse("<pdf2xml>\n" + filler + "\n" + pg(Seq(
+      t(79, 108, "INT. LOFT - NIGHT"),
+      t(115, 108, "Frank walks in. He stares."),
+      t(151, 252, "ALICE"), t(151, 500, "BOB"),
+      t(175, 180, "We should go.       We should stay."),
+      t(199, 180, "Now, even.       Forever, even.")
+    )) + "\n</pdf2xml>").objects.drop(12)
+    val got = r.map(l => (l.kind, l.text, l.hasDualLine, l.isDualLine))
+    assert(got(2) == ("Character", "ALICE", true, false))
+    assert(got(3) == ("Dialog", "We should go. Now, even.", false, false))
+    assert(got(4) == ("Character", "BOB", false, true))
+    assert(got(5)._2 == "We should stay.")
+    assert(got(6)._2 == "Forever, even.")
+  }
+
   test("S6 sink lines match the reference golden corpus for every play") {
     val corpus = Paths.get("/root/reference/shakespeare")
     val pairs = Files.list(corpus).iterator.asScala.filter(Files.isDirectory(_)).flatMap { cat =>
