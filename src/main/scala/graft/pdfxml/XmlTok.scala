@@ -86,7 +86,7 @@ object XmlTok {
       }
       // surface this element's text into the parent's piece list under the
       // lower-case tag so <text>a<b>x</b>b</text> sees child "b"
-      pieces.head += ((node.tag.toLowerCase, node.value))
+      pieces.head += ((lowerTag(node.tag), node.value))
       stack.head.children += node
     }
 
@@ -110,7 +110,7 @@ object XmlTok {
           var j = i + 1
           val ns = j
           while (j < n && !isWs(xml.charAt(j)) && xml.charAt(j) != '>' && xml.charAt(j) != '/') j += 1
-          val name = xml.substring(ns, j).toUpperCase
+          val name = internTag(xml, ns, j)
           var keys: ArrayBuffer[String] = null
           var vals: ArrayBuffer[String] = null
           var selfClose = false
@@ -126,7 +126,7 @@ object XmlTok {
               case _ =>
                 val as = j
                 while (j < n && !isWs(xml.charAt(j)) && xml.charAt(j) != '=' && xml.charAt(j) != '>' && xml.charAt(j) != '/') j += 1
-                val aname = xml.substring(as, j).toUpperCase
+                val aname = internAttr(xml, as, j)
                 var avalue = ""
                 while (j < n && isWs(xml.charAt(j))) j += 1
                 if (j < n && xml.charAt(j) == '=') {
@@ -155,7 +155,7 @@ object XmlTok {
           val node = new XNode(name)
           if (keys != null) { node.attrKeys = keys.toArray; node.attrVals = vals.toArray }
           if (selfClose) {
-            pieces.head += ((name.toLowerCase, ""))
+            pieces.head += ((lowerTag(name), ""))
             stack.head.children += node
           } else {
             stack = node :: stack
@@ -172,6 +172,51 @@ object XmlTok {
 
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** upper-cased tag name, interned for the fixed pdf2xml grammar so the
+    * common tags allocate nothing per element
+    */
+  private def internTag(xml: String, from: Int, to: Int): String = {
+    val len = to - from
+    @inline def is(lit: String): Boolean =
+      len == lit.length && xml.regionMatches(true, from, lit, 0, len)
+    if (is("text")) "TEXT"
+    else if (is("b")) "B"
+    else if (is("i")) "I"
+    else if (is("a")) "A"
+    else if (is("fontspec")) "FONTSPEC"
+    else if (is("page")) "PAGE"
+    else if (is("pdf2xml")) "PDF2XML"
+    else xml.substring(from, to).toUpperCase
+  }
+
+  private def lowerTag(tag: String): String = tag match {
+    case "TEXT" => "text"
+    case "B" => "b"
+    case "I" => "i"
+    case "A" => "a"
+    case "FONTSPEC" => "fontspec"
+    case "PAGE" => "page"
+    case "PDF2XML" => "pdf2xml"
+    case t => t.toLowerCase
+  }
+
+  private def internAttr(xml: String, from: Int, to: Int): String = {
+    val len = to - from
+    @inline def is(lit: String): Boolean =
+      len == lit.length && xml.regionMatches(true, from, lit, 0, len)
+    if (is("top")) "TOP"
+    else if (is("left")) "LEFT"
+    else if (is("width")) "WIDTH"
+    else if (is("height")) "HEIGHT"
+    else if (is("font")) "FONT"
+    else if (is("id")) "ID"
+    else if (is("size")) "SIZE"
+    else if (is("color")) "COLOR"
+    else if (is("number")) "NUMBER"
+    else if (is("family")) "FAMILY"
+    else xml.substring(from, to).toUpperCase
+  }
 
   def decode(s: String): String = {
     if (s.indexOf('&') < 0) return s
