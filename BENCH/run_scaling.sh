@@ -74,7 +74,7 @@ long-conversation skew amortizes across read tasks. Extraction itself
 is map-only — no shuffle — so scaling is bounded by task scheduling,
 I/O and the shared memory bandwidth of the single test box.
 """
-open("BENCH/BASELINE.md","w").write(md)
+open(f"BENCH/scaling_1x{cores}_vs_4x{cores}.md","w").write(md)
 print(md)
 EOF
 rm -rf "$TABLE"

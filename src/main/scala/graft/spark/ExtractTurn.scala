@@ -155,26 +155,48 @@ object ExtractTurn {
       attrs, revs)
   }
 
+  // interned UTF8String constants: kind/type/alignment/format/page-size
+  // values come from small closed sets, so the row conversion shares one
+  // immutable instance instead of re-encoding per line (~5 allocations +
+  // byte copies saved per line, ~350 per typical turn)
+  private val utf8Cache: java.util.concurrent.ConcurrentHashMap[String, UTF8String] = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
+    (ScriptLine.ValidTypes.toSeq ++ ScriptLine.ValidTypes.toSeq.map(ScriptLine.typeJson) ++
+      Seq("", "left", "center", "right", "pdfxml", "shakespeare", "unknown",
+        "oversized", "Letter", "A4", "b", "i")).foreach { s =>
+      m.put(s, UTF8String.fromString(s))
+    }
+    m
+  }
+  @inline private def utf8Const(s: String): UTF8String = {
+    val c = utf8Cache.get(s)
+    if (c != null) c else UTF8String.fromString(s)
+  }
+  private val emptyArray = new GenericArrayData(new Array[Any](0))
+
   private[spark] def toInternal(t: ExtractedTurn): InternalRow = {
     val lineRows = t.lines.map { l =>
       InternalRow(
-        UTF8String.fromString(l.kind), UTF8String.fromString(l.`type`),
+        utf8Const(l.kind), utf8Const(l.`type`),
         UTF8String.fromString(l.text), l.pageNum,
         UTF8String.fromString(l.givenPageNum), l.fontSize,
-        UTF8String.fromString(l.alignment), l.column, l.numLines,
+        utf8Const(l.alignment), l.column, l.numLines,
         l.hasDual, l.isDual,
-        new GenericArrayData(l.attrs.map { case (k, s, e) =>
-          InternalRow(UTF8String.fromString(k), s, e) }.toArray[Any]),
-        new GenericArrayData(l.revs.map { case (w, s, e) =>
+        if (l.attrs.isEmpty) emptyArray
+        else new GenericArrayData(l.attrs.map { case (k, s, e) =>
+          InternalRow(utf8Const(k), s, e) }.toArray[Any]),
+        if (l.revs.isEmpty) emptyArray
+        else new GenericArrayData(l.revs.map { case (w, s, e) =>
           InternalRow(w, s, e) }.toArray[Any]))
     }
     InternalRow(
-      UTF8String.fromString(t.format),
+      utf8Const(t.format),
       new GenericArrayData(lineRows.toArray[Any]),
-      UTF8String.fromString(t.pageSize),
+      utf8Const(t.pageSize),
       t.numPages,
       t.sceneContinuedTop, t.sceneContinuedBottom, t.sceneContinuedNumber,
-      new GenericArrayData(t.revisions.map { case (n, c) =>
+      if (t.revisions.isEmpty) emptyArray
+      else new GenericArrayData(t.revisions.map { case (n, c) =>
         InternalRow(UTF8String.fromString(n), UTF8String.fromString(c)) }.toArray[Any]),
       t.bytes)
   }
