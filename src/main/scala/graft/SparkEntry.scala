@@ -162,6 +162,19 @@ object SparkEntry {
         nPlanes = 8, nTables = 6)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
+    "q26_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+    "q25_regex_tokens" -> ((s, dir) => {
+      // BPE-ish subword tokenization: words / numbers / single punct
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("bigint").as("n_regex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- the extraction engine itself (no SQL oracle: the oracle is the
     // goldens join executed inside the query; result must be all-ok) ------
@@ -269,6 +282,9 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "q20_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q25_regex_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        | AS n_regex_tokens FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")
   )
 }

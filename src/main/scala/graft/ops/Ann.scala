@@ -53,6 +53,71 @@ object Ann {
     sig
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the first
+    * `nCentroids` corpus vectors by id, refined by one Lloyd step over the
+    * corpus — partitions vectors into cells; queries score only the
+    * `nProbe` nearest cells. Centroids broadcast (tiny); the corpus
+    * shuffles once on cell id. The standard trade: higher nProbe = higher
+    * recall, candidates ~ corpus * nProbe / nCentroids.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sp = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    // seed centroids: first nCentroids vectors by id (deterministic)
+    val seeds = c.orderBy("corpus_id").limit(nCentroids)
+      .collect().map(_.getSeq[Float](1).toArray)
+    // one Lloyd refinement step, computed distributed
+    def nearestUdf(cents: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cents.length) {
+        var d = 0.0; var j = 0
+        val cent = cents(i)
+        val n = math.min(cent.length, v.length)
+        while (j < n) { val x = v(j) - cent(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val assigned0 = c.withColumn("cell", nearestUdf(seeds)(col("corpus_vec")))
+    val dims = seeds.head.length
+    val refined: Array[Array[Float]] = {
+      val sums = assigned0.select(col("cell"), posexplode(col("corpus_vec")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+        .collect()
+      val out = seeds.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0); val dim = r.getInt(1)
+        if (cell < out.length && dim < dims) out(cell)(dim) = r.getDouble(2).toFloat
+      }
+      out
+    }
+    def probeUdf = udf { (v: Seq[Float]) =>
+      refined.indices.map { i =>
+        var d = 0.0; var j = 0
+        val cent = refined(i)
+        val n = math.min(cent.length, v.length)
+        while (j < n) { val x = v(j) - cent(j); d += x * x; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val corpusCells = c.withColumn("cell", nearestUdf(refined)(col("corpus_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("cell", explode(probeUdf(col("query_vec"))))
+    val candidates = corpusCells.join(broadcast(q), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", cosineUdf(col("query_vec"), col("corpus_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact cosine top-k: queries must be small enough to broadcast. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -144,12 +144,16 @@ object ExtractTurn {
   }
 
   private def toLine(o: ScriptLine, column: Int): ExtractedLine = {
-    val attrs = o.textAttributes.toSeq.sortBy(_._1).flatMap { case (k, spans) =>
-      spans.map(sp => (k, sp.start, sp.end))
-    }
-    val revs = o.revisions.toSeq.sortBy(_._1).flatMap { case (w, spans) =>
-      spans.map(sp => (w, sp.start, sp.end))
-    }
+    val attrs =
+      if (o.textAttributes.isEmpty) Nil
+      else o.textAttributes.toSeq.sortBy(_._1).flatMap { case (k, spans) =>
+        spans.map(sp => (k, sp.start, sp.end))
+      }
+    val revs =
+      if (o.revisions.isEmpty) Nil
+      else o.revisions.toSeq.sortBy(_._1).flatMap { case (w, spans) =>
+        spans.map(sp => (w, sp.start, sp.end))
+      }
     ExtractedLine(o.kind, o.typeJson, o.text, o.pageNum, o.givenPageNum,
       o.fontSize, o.alignment, column, o.numLines, o.hasDualLine, o.isDualLine,
       attrs, revs)

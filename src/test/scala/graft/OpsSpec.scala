@@ -72,6 +72,18 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall") // 3 planes x 8 tables
   }
 
+  test("ANN: IVF recall against brute-force ground truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val truth = Ann.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(ivf.size == 40)
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // probing half the cells
+  }
+
   test("lang id: CJK and stopword heuristics") {
     assert(LangId.detect("你好 世界 这是 中文 文本 测试") == "zh")
     assert(LangId.detect("the cat and the dog sat in the house") == "en")
