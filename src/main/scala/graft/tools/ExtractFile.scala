@@ -10,14 +10,15 @@ import java.nio.file.{Files, Paths}
   * (src/parser/analyzer/TestParser.php:53-61) — useful for eyeballing
   * extraction output and for driving the library end-to-end without Spark.
   *
-  * Usage: runMain graft.tools.ExtractFile <file> [--limit N]
+  * Usage: runMain graft.tools.ExtractFile <file> [--limit N] [--fountain|--json]
   * Dispatch on extension like reference Parser.php:66-88
-  * (.shakespeare -> HTML path; .xml -> pdftohtml-XML path).
+  * (.shakespeare -> HTML path; .xml -> pdftohtml-XML path); --fountain and
+  * --json render through the reference's sinks (WriteOutput.php).
   */
 object ExtractFile {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: ExtractFile <file.shakespeare|file.xml> [--limit N]")
+      System.err.println("usage: ExtractFile <file.shakespeare|file.xml> [--limit N] [--fountain|--json]")
       sys.exit(2)
     }
     val path = args(0)
@@ -28,16 +29,29 @@ object ExtractFile {
         sys.exit(2); return
     }
     val text = new String(bytes, if (path.endsWith(".shakespeare")) "ISO-8859-1" else "UTF-8")
-    val lines =
-      if (path.endsWith(".shakespeare")) Shakespeare.parse(text)
-      else if (path.endsWith(".xml")) graft.pdfxml.PdfXml.parse(text).objects
+    val isXml = path.endsWith(".xml")
+    if (!isXml && !path.endsWith(".shakespeare")) {
+      System.err.println(s"error: unsupported extension for $path (expected .shakespeare or .xml)")
+      sys.exit(2); return
+    }
+    lazy val parsedXml = graft.pdfxml.PdfXml.parse(text)
+    val lines = if (isXml) parsedXml.objects else Shakespeare.parse(text)
+
+    if (args.contains("--fountain")) {
+      print(graft.render.Render.fountain(lines))
+    } else if (args.contains("--json")) {
+      if (isXml) println(graft.render.Render.json(parsedXml))
       else {
-        System.err.println(s"error: unsupported extension for $path (expected .shakespeare or .xml)")
-        sys.exit(2); return
+        // HTML path: wrap the line stream in an empty-page-settings result
+        val r = graft.pdfxml.ParseResult(lines, Vector(Vector.empty), Vector(Vector.empty),
+          new graft.pdfxml.ColorsList, 2, "Letter", false, false, false, Vector.empty, Map.empty)
+        println(graft.render.Render.json(r))
       }
-    lines.take(limit).foreach { l =>
-      val gp = if (l.givenPageNum.nonEmpty) l.givenPageNum else "-"
-      println(s"p${l.pageNum}/$gp\t${l.typeJson}\t${l.text}")
+    } else {
+      lines.take(limit).foreach { l =>
+        val gp = if (l.givenPageNum.nonEmpty) l.givenPageNum else "-"
+        println(s"p${l.pageNum}/$gp\t${l.typeJson}\t${l.text}")
+      }
     }
     System.err.println(s"${lines.size} lines")
   }
