@@ -110,7 +110,6 @@ object DocAnalyzer {
     var currentDialogs = ArrayBuffer.empty[Dialog]
     var currentLines = 0
     var inTitleScene = true
-    val titleDialogs = ArrayBuffer.empty[Dialog]
 
     val dialogCounts = mutable.LinkedHashMap.empty[String, Int]
     var currentDialog: ArrayBuffer[Dialog] = null
@@ -206,7 +205,6 @@ object DocAnalyzer {
     val chars = dialogCounts.toVector
       .map { case (n, c) => CharacterStats(n, c) }
       .sortBy(-_.nDialogs) // character_sort (Analyzer.php:283-291)
-    val _ = titleDialogs
     Analysis(title, author, sceneVec, chars)
   }
 }

@@ -125,9 +125,7 @@ object Php {
     * ([:blank:] = space + tab).
     */
   def reduceSpaces(s: String): String = {
-    if (s.indexOf("  ") < 0 && s.indexOf('\t') < 0) {
-      if (s.indexOf('\t') < 0) return s
-    }
+    if (s.indexOf("  ") < 0 && s.indexOf('\t') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var inBlank = false

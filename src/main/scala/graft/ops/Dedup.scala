@@ -32,22 +32,25 @@ object Dedup {
     import sp.implicits._
     val nBands = nHashes / rowsPerBand
 
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"),
-        TextOps.minhash(col(textCol), k, nHashes).as("sig"))
-
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val bandFn = udf { (sig: Seq[Long]) => MinHash.bands(sig.toArray, rowsPerBand) }
-    val banded = sigs
-      .select($"id", $"text", $"sig", posexplode(bandFn($"sig")).as(Seq("band_idx", "band_hash")))
+    // only (id, band) rows shuffle through the self-join; raw text joins
+    // back on the (small) candidate pair set for exact verification
+    val banded = texts
+      .select($"id", TextOps.minhash($"text", k, nHashes).as("sig"))
+      .select($"id", posexplode(bandFn($"sig")).as(Seq("band_idx", "band_hash")))
 
-    val a = banded.select($"band_idx", $"band_hash", $"id".as("id_a"), $"text".as("text_a"))
-    val b = banded.select($"band_idx", $"band_hash", $"id".as("id_b"), $"text".as("text_b"))
+    val a = banded.select($"band_idx", $"band_hash", $"id".as("id_a"))
+    val b = banded.select($"band_idx", $"band_hash", $"id".as("id_b"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"text_a", $"text_b")
+      .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
     val jac = udf { (t1: String, t2: String) => MinHash.exactJaccard(t1, t2, k) }
     candidates
+      .join(texts.select($"id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
+      .join(texts.select($"id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
       .withColumn("jaccard", jac($"text_a", $"text_b"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
@@ -66,7 +69,7 @@ object Dedup {
     val chunked = fps.select($"id", $"fp",
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_idx"),
-          (($"fp" cast "bigint") / lit(1L << (i * 16)) cast "bigint").bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
+          shiftrightunsigned($"fp", i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
       .select($"id", $"fp", $"c.chunk_idx", $"c.chunk")
     val a = chunked.select($"chunk_idx", $"chunk", $"id".as("id_a"), $"fp".as("fp_a"))
     val b = chunked.select($"chunk_idx", $"chunk", $"id".as("id_b"), $"fp".as("fp_b"))

@@ -77,7 +77,7 @@ object LangId {
       i += 1
     }
     if (total > 0 && cjk * 5 >= total) return "zh"
-    val toks = Tokenize.whitespace(text.toLowerCase.take(2000))
+    val toks = Tokenize.whitespace(text.substring(0, math.min(text.length, 2000)).toLowerCase)
     var best = "en"; var bestScore = -1
     order.foreach { lang =>
       val sw = stopwords(lang)

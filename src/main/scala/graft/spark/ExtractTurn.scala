@@ -104,8 +104,22 @@ object ExtractTurn {
     */
   val MaxPayloadBytes: Int = 20 * 1024 * 1024
 
-  /** plain-Scala extraction (used by the Expression and by tests) */
-  def extract(text: String): ExtractedTurn = {
+  /** plain-Scala extraction (used by the Expression and by tests).
+    * Total over arbitrary input: a payload that still manages to break the
+    * kernel (e.g. a deeply nested tag bomb overflowing the stack) yields a
+    * format="error" turn instead of failing the task — at 10^12 turns one
+    * rogue payload must be counted, not crash the job.
+    */
+  def extract(text: String): ExtractedTurn =
+    try extractUnsafe(text)
+    catch {
+      case _: StackOverflowError | scala.util.control.NonFatal(_) =>
+        ExtractedTurn("error", Seq.empty, "Letter", 0,
+          sceneContinuedTop = false, sceneContinuedBottom = false,
+          sceneContinuedNumber = false, Seq.empty, text.length)
+    }
+
+  private def extractUnsafe(text: String): ExtractedTurn = {
     if (text.length > MaxPayloadBytes)
       return ExtractedTurn("oversized", Seq.empty, "Letter", 0,
         sceneContinuedTop = false, sceneContinuedBottom = false,
@@ -167,7 +181,7 @@ object ExtractTurn {
     val m = new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
     (ScriptLine.ValidTypes.toSeq ++ ScriptLine.ValidTypes.toSeq.map(ScriptLine.typeJson) ++
       Seq("", "left", "center", "right", "pdfxml", "shakespeare", "unknown",
-        "oversized", "Letter", "A4", "b", "i")).foreach { s =>
+        "oversized", "error", "Letter", "A4", "b", "i")).foreach { s =>
       m.put(s, UTF8String.fromString(s))
     }
     m

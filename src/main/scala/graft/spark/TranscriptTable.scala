@@ -71,7 +71,7 @@ object TranscriptTable {
   def currentSnapshotId(root: String): Option[Long] = {
     val p = Paths.get(root, "metadata", "current.json")
     if (!Files.exists(p)) None
-    else Json.parse(Files.readString(p)).get("current_snapshot_id").map(_.asInt.toLong)
+    else Json.parse(Files.readString(p)).get("current_snapshot_id").map(_.asLong)
   }
 
   private def atomicWrite(path: Path, content: String): Unit = {
@@ -120,9 +120,9 @@ object TranscriptTable {
       .foldLeft(Counters(0, 0, 0)) { (acc, m) =>
         val c = m("counters")
         Counters(
-          acc.turns + c("turns_parsed").asInt,
-          acc.bytes + c("bytes_tokenized").asInt,
-          acc.mismatches + c("extraction_mismatches").asInt)
+          acc.turns + c("turns_parsed").asLong,
+          acc.bytes + c("bytes_tokenized").asLong,
+          acc.mismatches + c("extraction_mismatches").asLong)
       }
   }
 
@@ -140,6 +140,12 @@ object TranscriptTable {
     val done = committedBuckets(outRoot)
     val todo = (0 until nBuckets).filterNot(done)
     todo.foreach { b =>
+      val bucketDir = java.nio.file.Paths.get(tableRoot, "data", s"bucket=$b")
+      if (!Files.isDirectory(bucketDir)) {
+        // partitionBy writes no directory for an empty bucket — commit an
+        // empty manifest so resume can progress past it
+        commitBucket(outRoot, b, snapshotId, nBuckets, Counters(0, 0, 0))
+      } else {
       val in = spark.read.parquet(s"$tableRoot/data/bucket=$b")
       Pipeline.extracted(in)
         .withColumn("n_lines", size(col("ex.lines")))
@@ -153,6 +159,7 @@ object TranscriptTable {
           coalesce(sum(col("bytes")), lit(0L)).as("bytes")).head()
       commitBucket(outRoot, b, snapshotId, nBuckets,
         Counters(row.getLong(0), row.getLong(1), 0))
+      }
     }
     readCounters(outRoot)
   }

@@ -197,8 +197,7 @@ object Html {
     isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 
   def decodeEntities(s: String): String = {
-    var amp = s.indexOf('&')
-    if (amp < 0) return s
+    if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -227,7 +226,6 @@ object Html {
         } else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }
-    val _ = amp
     sb.toString
   }
 }

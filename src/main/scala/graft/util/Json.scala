@@ -19,6 +19,11 @@ object Json {
       case Str(s) => s.toInt
       case v      => sys.error(s"not a number: $v")
     }
+    def asLong: Long = this match {
+      case Num(n) => n.toLong
+      case Str(s) => s.toLong
+      case v      => sys.error(s"not a number: $v")
+    }
     def asArray: Vector[Value] = this.asInstanceOf[Arr].items
     def asObject: VectorMap[String, Value] = this.asInstanceOf[Obj].fields
     def apply(key: String): Value = asObject(key)

@@ -52,6 +52,28 @@ class OpsSpec extends AnyFunSuite {
     assert(MinHash.estJaccard(sigA, sigB) < 1.0)
   }
 
+  test("simhashPairs finds every pair within the banded guarantee (incl. negative fingerprints)") {
+    val sp = spark
+    import sp.implicits._
+    val base = docs.select(col("doc_id"), col("text")).limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = base.map { case (id, t) => (id, t) } ++
+      base.map { case (id, t) => (id + 5000, t + " x") }
+    // ground truth: pairs with hamming <= 3 (the 4x16-bit band guarantee)
+    val fps = all.map { case (id, t) => (id, SimHash.of(t)) }
+    val want = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && SimHash.hamming(fa, fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "fixture produced no <=3-hamming pairs")
+    assert(want.exists { case (a, _) => fps.toMap.apply(a) < 0 },
+      "fixture has no negative-fingerprint pair (the regression this guards)")
+    val got = Dedup.simhashPairs(sp.createDataFrame(all.toSeq).toDF("doc_id", "text"),
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("simhash hamming distance small for near-dups, large for unrelated") {
     val a = SimHash.of("the quick brown fox jumps over the lazy dog near the barn")
     val b = SimHash.of("the quick brown fox jumps over the lazy dog near the barn!")

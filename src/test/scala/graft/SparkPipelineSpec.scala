@@ -128,6 +128,11 @@ class SparkPipelineSpec extends AnyFunSuite {
     TranscriptTable.commitBucket(out, 0, 1L, nBuckets, TranscriptTable.Counters(0, 0, 0))
     val counters = TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets)
     assert(TranscriptTable.committedBuckets(out) == Set(0, 1, 2, 3))
+    // empty buckets (no directory written) must commit and not crash
+    val out2 = java.nio.file.Files.createTempDirectory("graft_out2").toString
+    val c2 = TranscriptTable.extractWithCheckpoints(sp, root, out2, nBuckets + 60)
+    assert(TranscriptTable.committedBuckets(out2).size == nBuckets + 60)
+    val _ = c2
     // counters only cover buckets 1..3 (bucket 0 was "already done")
     val expectTurns = sp.read.parquet(s"$root/data")
       .filter(col("tool").isin("pdftohtml", "shakespeare"))
