@@ -84,14 +84,40 @@ object Ann {
     }
     val assigned0 = c.withColumn("cell", nearestUdf(seeds)(col("corpus_vec")))
     val dims = seeds.head.length
+    // Lloyd step without a corpus-x-dims explode: a typed Aggregator sums
+    // WHOLE vectors per cell (map-side combinable, shuffle rows =
+    // nCentroids x partitions, not corpus x dims), then only the
+    // nCentroids mean vectors reach the driver for the broadcast probe
+    // table. At a 10^9-vector corpus the old posexplode shape shuffled
+    // 10^12 rows for the same 16 numbers-per-dim.
     val refined: Array[Array[Float]] = {
-      val sums = assigned0.select(col("cell"), posexplode(col("corpus_vec")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
-        .collect()
+      import sp.implicits._
+      val meanVec = new org.apache.spark.sql.expressions.Aggregator[
+          Seq[Float], (Long, Array[Double]), Array[Float]] {
+        def zero: (Long, Array[Double]) = (0L, new Array[Double](dims))
+        def reduce(b: (Long, Array[Double]), v: Seq[Float]): (Long, Array[Double]) = {
+          var i = 0; val n = math.min(dims, v.length)
+          while (i < n) { b._2(i) += v(i); i += 1 }
+          (b._1 + 1, b._2)
+        }
+        def merge(x: (Long, Array[Double]), y: (Long, Array[Double])): (Long, Array[Double]) = {
+          var i = 0
+          while (i < dims) { x._2(i) += y._2(i); i += 1 }
+          (x._1 + y._1, x._2)
+        }
+        def finish(b: (Long, Array[Double])): Array[Float] =
+          if (b._1 == 0) Array.empty else b._2.map(s => (s / b._1).toFloat)
+        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Array[Double])]]
+        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Float]]]
+      }
+      val means = assigned0.select(col("cell"), col("corpus_vec"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(meanVec.toColumn.name("mean"))
+        .collect() // <= nCentroids rows, never corpus-derived cardinality
       val out = seeds.map(_.clone())
-      sums.foreach { r =>
-        val cell = r.getInt(0); val dim = r.getInt(1)
-        if (cell < out.length && dim < dims) out(cell)(dim) = r.getDouble(2).toFloat
+      means.foreach { case (cell, mean) =>
+        if (cell < out.length && mean.length == dims) out(cell) = mean
       }
       out
     }
@@ -136,11 +162,14 @@ object Ann {
     * (the building block for embedding-based near-dup detection).
     */
   def candidatePairs(df: DataFrame, nPlanes: Int, nTables: Int, seed: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed = base.withColumn("tb", explode(array((0 until nTables).map { t =>
+    val bucketed0 = base.withColumn("tb", explode(array((0 until nTables).map { t =>
       struct(lit(t).as("table_id"), bucketUdf(seed, nPlanes, t)(col("vec")).as("bucket"))
     }: _*))).select(col("id"), col("vec"), col("tb.table_id"), col("tb.bucket"))
+    val (bucketed, _) = graft.ops.Dedup.capHotBuckets(
+      bucketed0, Seq("table_id", "bucket"), maxBucket)
     val a = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("table_id", "bucket"))

@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-bucket guard for banded LSH self-joins. Real corpora are
+    * duplicate-heavy: every copy of a common document shares every band,
+    * so one bucket key can hold 10^6 ids and the self-join would emit
+    * ~10^12 pairs from that bucket alone. Buckets over `cap` are dropped
+    * before the join (exact dedup, which runs first in any sane pipeline,
+    * owns identical content; LSH owns the near-dup tail). The dropped
+    * keys are returned so callers can count/log them — a silent cap would
+    * read as full coverage.
+    *
+    * Cost: one map-side-combinable count per key + a broadcast anti-join
+    * (hot keys are few by construction) — no extra wide shuffle.
+    */
+  def capHotBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int): (DataFrame, DataFrame) = {
+    val hot = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+    val kept = bucketed.join(broadcast(hot.drop("bucket_n")), keyCols, "left_anti")
+    (kept, hot)
+  }
+
   /** Exact dedup by content hash: ONE shuffle on the 128-bit md5 of the
     * text. Returns one row per distinct content with the canonical
     * (minimum) id and the duplicate count.
@@ -27,10 +47,9 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    val nBands = nHashes / rowsPerBand
 
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val bandFn = udf { (sig: Seq[Long]) => MinHash.bands(sig.toArray, rowsPerBand) }
@@ -39,18 +58,25 @@ object Dedup {
     val banded = texts
       .select($"id", TextOps.minhash($"text", k, nHashes).as("sig"))
       .select($"id", posexplode(bandFn($"sig")).as(Seq("band_idx", "band_hash")))
+    val (kept, _) = capHotBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
 
-    val a = banded.select($"band_idx", $"band_hash", $"id".as("id_a"))
-    val b = banded.select($"band_idx", $"band_hash", $"id".as("id_b"))
+    val a = kept.select($"band_idx", $"band_hash", $"id".as("id_a"))
+    val b = kept.select($"band_idx", $"band_hash", $"id".as("id_b"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
+    // the candidate set is tiny relative to the corpus: broadcast it into
+    // both text lookups so the full text table is scanned (never shuffled)
+    // — two broadcast joins instead of two full-table shuffle joins
     val jac = udf { (t1: String, t2: String) => MinHash.exactJaccard(t1, t2, k) }
-    candidates
-      .join(texts.select($"id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
-      .join(texts.select($"id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
+    val withA = texts.select($"id".as("id_a"), $"text".as("text_a"))
+      .join(broadcast(candidates), Seq("id_a"))
+    val textsB = texts.select($"id".as("id_b"), $"text".as("text_b"))
+      .join(broadcast(candidates.select($"id_b").distinct()), Seq("id_b"), "left_semi")
+    withA
+      .join(broadcast(textsB), Seq("id_b"))
       .withColumn("jaccard", jac($"text_a", $"text_b"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
@@ -62,15 +88,16 @@ object Dedup {
     * verify by full hamming distance. One shuffle on the chunk key.
     */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
     val fps = df.select(col(idCol).as("id"), TextOps.simhash64(col(textCol)).as("fp"))
-    val chunked = fps.select($"id", $"fp",
+    val chunked0 = fps.select($"id", $"fp",
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_idx"),
           shiftrightunsigned($"fp", i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
       .select($"id", $"fp", $"c.chunk_idx", $"c.chunk")
+    val (chunked, _) = capHotBuckets(chunked0, Seq("chunk_idx", "chunk"), maxBucket)
     val a = chunked.select($"chunk_idx", $"chunk", $"id".as("id_a"), $"fp".as("fp_a"))
     val b = chunked.select($"chunk_idx", $"chunk", $"id".as("id_b"), $"fp".as("fp_b"))
     val ham = udf { (x: Long, y: Long) => SimHash.hamming(x, y) }

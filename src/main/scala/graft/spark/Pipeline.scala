@@ -146,16 +146,23 @@ object Pipeline {
     * graft.analyze.DocAnalyzer), then dialogue lines attribute to every
     * speaker of the current heading.
     */
+  /** scalar split kernel shared by [[speakers]] and the q24 oracle lookup:
+    * heading -> (name, modifier) per speaker (Analyzer.php:399-463).
+    */
+  def splitSpeakerNamesWithModifiers(heading: String): Seq[(String, String)] =
+    graft.analyze.DocAnalyzer.splitCharacterNames(heading).map { piece =>
+      val (nm, mod) = graft.analyze.DocAnalyzer.splitCharacterModifier(piece)
+      val modifier = if (mod == "CONT'D" || mod == "CONT’D") "" else mod
+      (graft.analyze.DocAnalyzer.normalizeName(nm), modifier)
+    }.filter(_._1.nonEmpty)
+
+  def splitSpeakerNames(heading: String): Seq[String] =
+    splitSpeakerNamesWithModifiers(heading).map(_._1)
+
   def speakers(linesDf: DataFrame): DataFrame = {
     val sp = linesDf.sparkSession
     import sp.implicits._
-    val splitNames = udf { (heading: String) =>
-      graft.analyze.DocAnalyzer.splitCharacterNames(heading).map { piece =>
-        val (nm, mod) = graft.analyze.DocAnalyzer.splitCharacterModifier(piece)
-        val modifier = if (mod == "CONT'D" || mod == "CONT’D") "" else mod
-        (graft.analyze.DocAnalyzer.normalizeName(nm), modifier)
-      }.filter(_._1.nonEmpty)
-    }
+    val splitNames = udf { (heading: String) => splitSpeakerNamesWithModifiers(heading) }
     val w = orderedWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     linesDf
       .withColumn("heading",

@@ -39,6 +39,18 @@ object StreamingExtract {
       .groupBy(window(col("ts"), "1 hour"), col("format"))
       .agg(count(lit(1)).as("turns"), sum(col("n_lines")).as("lines"))
 
+  /** start a parquet-sink query — the scale path: micro-batch results land
+    * in files, never in the driver (the memory sink below is test-only).
+    */
+  def startParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** start a memory-sink query (tests / local smoke) */
   def startMemory(df: DataFrame, name: String): StreamingQuery =
     df.writeStream

@@ -52,6 +52,36 @@ class OpsSpec extends AnyFunSuite {
     assert(MinHash.estJaccard(sigA, sigB) < 1.0)
   }
 
+  test("hot-bucket cap: a planted 1k-copy document cannot blow up the LSH join") {
+    val sp = spark
+    import sp.implicits._
+    // 1000 exact copies of one document: every copy shares every band, so
+    // uncapped LSH would emit ~500k pairs from this content alone
+    val copies = (0 until 1000).map(i => (100000L + i, "the same mega duplicated document text appears everywhere again and again"))
+    val normal = docs.select(col("doc_id"), col("text")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val all = sp.createDataFrame(normal ++ copies).toDF("doc_id", "text")
+
+    // the cap drops the mega-bucket: no pair among the 1000 copies
+    val pairs = Dedup.minhashLsh(all, threshold = 0.9, maxBucket = 100)
+    assert(pairs.filter($"id_a" >= 100000L && $"id_b" >= 100000L).count() == 0)
+
+    // and the guard reports what it dropped (nothing silent)
+    val bandFn = udf { (sig: Seq[Long]) => MinHash.bands(sig.toArray, 4) }
+    val banded = all.select(col("doc_id").as("id"),
+        graft.ops.TextOps.minhash(col("text"), 3, 64).as("sig"))
+      .select(col("id"), posexplode(bandFn(col("sig"))).as(Seq("band_idx", "band_hash")))
+    val (_, hot) = Dedup.capHotBuckets(banded, Seq("band_idx", "band_hash"), 100)
+    val hotRows = hot.collect()
+    assert(hotRows.length == 16, s"expected 16 mega-bands, got ${hotRows.length}")
+    assert(hotRows.forall(_.getLong(2) == 1000L))
+
+    // simhash path: same planted corpus completes with the cap and drops
+    // the copy-copy pairs
+    val sPairs = Dedup.simhashPairs(all, maxHamming = 3, maxBucket = 100)
+    assert(sPairs.filter($"id_a" >= 100000L && $"id_b" >= 100000L).count() == 0)
+  }
+
   test("simhashPairs finds every pair within the banded guarantee (incl. negative fingerprints)") {
     val sp = spark
     import sp.implicits._
@@ -115,7 +145,23 @@ class OpsSpec extends AnyFunSuite {
     assert(LangId.detect("xyzzy plugh") == "und")
   }
 
-  test("multimodal: stub decode pipeline is deterministic with real schema") {
+  test("multimodal: container decode round-trips the synthesis metadata") {
+    val rows = Multimodal.synthesize(spark, 60).collect()
+    rows.foreach { m =>
+      val d = Multimodal.decode(m.payload)
+      assert(d.kind == m.kind, s"kind mismatch for ${m.media_id}")
+      m.kind match {
+        case "image" =>
+          assert((d.width, d.height, d.frames) == ((m.width, m.height, 1)))
+        case "audio" => assert(d.durMs == m.dur_ms)
+        case "video" =>
+          assert((d.width, d.height, d.frames) == ((m.width, m.height, m.n_frames)))
+      }
+    }
+    // corrupt payloads decode to unknown, never throw
+    assert(Multimodal.decode(Array.empty[Byte]).kind == "unknown")
+    assert(Multimodal.decode("GIF89a".getBytes).kind == "unknown")
+    assert(Multimodal.decode(Array.fill[Byte](64)(0x2c)).kind == "unknown")
     val m1 = Multimodal.features(Multimodal.synthesize(spark, 30)).collect().sortBy(_.media_id)
     val m2 = Multimodal.features(Multimodal.synthesize(spark, 30)).collect().sortBy(_.media_id)
     assert(m1.toSeq == m2.toSeq)
