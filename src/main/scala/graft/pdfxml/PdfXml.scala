@@ -28,7 +28,13 @@ final case class ParseResult(
   */
 object PdfXml {
 
-  def parse(xml: String): ParseResult = {
+  def parse(xml: String): ParseResult = parse(xml, null)
+
+  /** parse with a DUMP_BLOCKS-style stage sink (see TextParser.StageLabels)
+    * so tests can pin each classifier pass independently.
+    */
+  def parse(xml: String,
+      stageSink: (Int, String, Seq[TextParser.StageBlock]) => Unit): ParseResult = {
     val flags = new DocFlags
     val colors = new ColorsList
     val fonts = mutable.HashMap.empty[String, Int]
@@ -73,7 +79,7 @@ object PdfXml {
       idx += 1
     }
 
-    val parser = new TextParser(colors, flags)
+    val parser = new TextParser(colors, flags, stageSink)
     if (containsFormfeeds) {
       var linesThisPage = new ArrayBuffer[LineObj]
       var firstTime = true

@@ -27,6 +27,27 @@ object Alignment {
   * called once per formfeed-delimited page in order.
   */
 object TextParser {
+  /** The reference's `-X1707` DUMP_BLOCKS stage labels, in pipeline order
+    * (ParseText.php:1178,1208,1252,1280,1408,1566,1597,1618,1678,1723).
+    * A [[TextParser]] built with a `stageSink` receives a snapshot of the
+    * block list at each of these points, letting fixtures pin every pass
+    * independently instead of only end-to-end.
+    */
+  val StageLabels: Vector[String] = Vector(
+    "Before classifying based on content",
+    "After classifying based on content",
+    "After reclassifying based on indent",
+    "After reclassifying Unknown as Action/Slugline",
+    "Before reclassifying dual dialogue",
+    "After reclassifying dual dialogue",
+    "After converting Unknown",
+    "After changing Action to Text or Shot based on vertical spacing",
+    "After removing unnecessary blank lines",
+    "Before turning blocks into objects")
+
+  /** immutable snapshot of one block at a stage boundary */
+  final case class StageBlock(kind: String, unsure: Boolean, x: Int, lines: Vector[String])
+
   /** one pass: any case-insensitive "CONT" or "MORE" substring? */
   private[pdfxml] def hasContOrMore(s: String): Boolean = {
     var i = 0
@@ -41,10 +62,17 @@ object TextParser {
   }
 }
 
-final class TextParser(val colors: ColorsList, flags: DocFlags) {
+final class TextParser(val colors: ColorsList, flags: DocFlags,
+    stageSink: (Int, String, Seq[TextParser.StageBlock]) => Unit = null) {
   val objects: ArrayBuffer[ScriptLine] = ArrayBuffer.empty
   var numPages: Int = 0
   var givenPageNum: String = ""
+
+  /** emit a DUMP_BLOCKS-style stage snapshot (no-op unless a sink is set) */
+  private def dump(stage: Int, blocks: scala.collection.Seq[Block]): Unit =
+    if (stageSink != null)
+      stageSink(numPages, TextParser.StageLabels(stage),
+        blocks.map(b => TextParser.StageBlock(b.kind, b.unsure, b.x, b.lines.toVector)).toSeq)
 
   private val whiteOutMarkers = Vector(
     "CONTINUED:", "(CONTINUED)", "(CONT)", "(CONT.)", "(CONTD)", "(CONT'D)",
@@ -159,6 +187,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
     }
 
     mergeAcrossIntersentenceSpaces(blocks)
+    dump(0, blocks)
 
     // ---- classification cascade (:1184-1189); the static
     // last_page_block_kind is never reassigned in the reference, so the
@@ -171,6 +200,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
       blocks(bx).classifyBasedOnContent(prevKind, bx)
       bx += 1
     }
+    dump(1, blocks)
 
     // ---- indent inference (:1192-1205)
     var likelyIndent: mutable.LinkedHashMap[String, Int] =
@@ -202,6 +232,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
       }
       ax += 1
     }
+    dump(2, blocks)
 
     // ---- refresh likely indents from the final kinds (:1260-1264)
     val indent2: Map[String, Option[Int]] =
@@ -219,6 +250,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
         }
       }
     }
+    dump(3, blocks)
 
     // ---- dialog sanity scan-back (:1291-1314)
     ax = 0
@@ -328,7 +360,9 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
       previousCharacter.kind = if (isSlug) "Slugline" else "Action"
     }
 
+    dump(4, blocks)
     DualDialog.recover(blocks)
+    dump(5, blocks)
 
     // ---- Unknown -> Dialog/Text/Action (:1570-1594)
     var bi = 0
@@ -349,6 +383,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
       }
       bi += 1
     }
+    dump(6, blocks)
 
     // ---- Action -> Text/Shot by vertical spacing (:1601-1615)
     bi = 0
@@ -361,6 +396,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
       }
       bi += 1
     }
+    dump(7, blocks)
 
     // ---- drop margin-implied blank lines (:1623-1674)
     {
@@ -398,6 +434,8 @@ final class TextParser(val colors: ColorsList, flags: DocFlags) {
       while (j2 < blocks.length) { if (!removed(j2)) kept += blocks(j2); j2 += 1 }
       blocks = kept
     }
+    dump(8, blocks)
+    dump(9, blocks) // the reference dumps both :1678 and :1723 (no pass between)
 
     // ---- blocks -> ScriptLines (:1728-1781)
     val fullWidthTypes = Set("Action", "Slugline", "Text", "Shot")
