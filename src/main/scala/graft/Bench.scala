@@ -26,11 +26,18 @@ object Bench {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** extraction benchmark: (turns, seconds, mismatches). Input and goldens
-    * are materialized to parquet first (untimed) so the measured job is
-    * the real workload: scan -> extract_turn -> verification join.
+  final case class ExtractionBench(turns: Long, medianSecs: Double,
+      runSecs: Seq[Double], extractOnlySecs: Double, mismatches: Long)
+
+  /** extraction benchmark. Input and goldens are materialized to parquet
+    * first (untimed) so the measured job is the real workload. Protocol:
+    * one warm-up, then THREE timed runs, median reported (shared-host
+    * noise is ±25-30%; a single sample regularly lands outside the
+    * envelope — BENCH/BASELINE.md). Also times the extraction-only job
+    * (scan -> extract_turn -> count, no verification) so the two
+    * throughput figures BASELINE.md quotes stay separately reproducible.
     */
-  def extractionBench(spark: SparkSession, nConvs: Long, par: Int): (Long, Double, Long) = {
+  def extractionBench(spark: SparkSession, nConvs: Long, par: Int): ExtractionBench = {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench").toString
     Transcripts.synthesize(spark, nConvs, seed = 42L, parallelism = par).toDF()
       .write.mode("overwrite").parquet(s"$dir/transcripts")
@@ -47,11 +54,25 @@ object Bench {
         .head()
       (row.getLong(0), row.getLong(1))
     }
+    def timed[A](f: () => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f()
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
     job() // warm-up
-    val t0 = System.nanoTime()
-    val (turns, mismatches) = job()
-    val secs = (System.nanoTime() - t0) / 1e9
-    (turns, secs, mismatches)
+    val runs = (0 until 3).map(_ => timed(job))
+    val (turns, mismatches) = runs.head._1
+    val secs = runs.map(_._2)
+    val median = secs.sorted.apply(secs.length / 2)
+    // extraction-only: the map-only kernel path, no goldens/verification
+    // (own warm-up: its generated code differs from the verify job's)
+    def exOnlyJob(): Long =
+      Pipeline.lines(Pipeline.extracted(spark.read.parquet(s"$dir/transcripts")))
+        .agg(count(lit(1))).head().getLong(0)
+    exOnlyJob()
+    val exOnlySecs = (0 until 3).map(_ => timed(exOnlyJob)._2)
+    ExtractionBench(turns, median, secs,
+      exOnlySecs.sorted.apply(exOnlySecs.length / 2), mismatches)
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,22 +87,25 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: extraction turns/sec with per-turn equality
+    // headline: extraction turns/sec with per-turn equality, median of 3
     val nConvs = if (sfDir.contains("0.1")) 20000L else if (sfDir.contains("0.01")) 2000L else 200L
-    val (turns, exSecs, mismatches) = extractionBench(spark, nConvs, cpus.toInt)
-    val turnsPerSec = if (exSecs > 0) turns / exSecs else 0.0
+    val ex = extractionBench(spark, nConvs, cpus.toInt)
+    val turnsPerSec = if (ex.medianSecs > 0) ex.turns / ex.medianSecs else 0.0
+    val exOnlyPerSec = if (ex.extractOnlySecs > 0) ex.turns / ex.extractOnlySecs else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + exSecs
+    val total = results.map(_._2).sum + ex.runSecs.sum + ex.extractOnlySecs
     val json = new StringBuilder
     json ++= "{\"metric\":\"total\",\"value\":" ++= f"$total%.3f"
     json ++= ",\"unit\":\"sec\",\"queries\":" ++= qs
     json ++= ",\"sf\":\"" ++= sfDir ++= "\""
-    json ++= ",\"extraction\":{\"turns\":" ++= turns.toString
-    json ++= ",\"seconds\":" ++= f"$exSecs%.3f"
+    json ++= ",\"extraction\":{\"turns\":" ++= ex.turns.toString
+    json ++= ",\"seconds\":" ++= f"${ex.medianSecs}%.3f"
     json ++= ",\"turns_per_sec\":" ++= f"$turnsPerSec%.1f"
-    json ++= ",\"mismatches\":" ++= mismatches.toString ++= "}"
+    json ++= ",\"run_secs\":" ++= ex.runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    json ++= ",\"extract_only_turns_per_sec\":" ++= f"$exOnlyPerSec%.1f"
+    json ++= ",\"mismatches\":" ++= ex.mismatches.toString ++= "}"
     json ++= ",\"cpus\":" ++= cpus ++= "}"
     println(json.toString)
     spark.stop()

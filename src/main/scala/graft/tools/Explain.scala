@@ -37,6 +37,7 @@ object Explain {
     show("q02_filter_pushdown", SparkEntry.queries("q02_filter_pushdown")(spark, sfDir))
     show("q04_join_4way", SparkEntry.queries("q04_join_4way")(spark, sfDir))
     show("q18_extract_verify", SparkEntry.queries("q18_extract_verify")(spark, sfDir))
+    show("q13_minhash_pairs", SparkEntry.queries("q13_minhash_pairs")(spark, sfDir))
     spark.stop()
   }
 }
