@@ -160,17 +160,14 @@ object Pipeline {
     splitSpeakerNamesWithModifiers(heading).map(_._1)
 
   def speakers(linesDf: DataFrame): DataFrame = {
-    val sp = linesDf.sparkSession
-    import sp.implicits._
-    val splitNames = udf { (heading: String) => splitSpeakerNamesWithModifiers(heading) }
     val w = orderedWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     linesDf
       .withColumn("heading",
         last(when(col("type") === "Character", col("text")), ignoreNulls = true).over(w))
       .filter(col("type") === "Dialogue" && col("heading").isNotNull)
-      .withColumn("speaker_mod", explode(splitNames(col("heading"))))
+      .withColumn("speaker_mod", explode(SplitSpeakers(col("heading"))))
       .select(col("conv_id"), col("turn_idx"), col("line_idx"),
-        col("speaker_mod._1").as("speaker"), col("speaker_mod._2").as("modifier"),
+        col("speaker_mod.speaker").as("speaker"), col("speaker_mod.modifier").as("modifier"),
         col("text"))
   }
 

@@ -71,6 +71,14 @@ class SparkPipelineSpec extends AnyFunSuite {
     val got = sp.sql("SELECT id, extract_turn(text).format AS fmt FROM turns ORDER BY id")
       .collect().map(r => (r.getString(0), r.getString(1))).toVector
     assert(got == Vector(("x", "pdfxml"), ("y", "shakespeare"), ("z", "unknown")))
+
+    // split_speakers as SQL: heading -> array<struct<speaker,modifier>>
+    graft.spark.SplitSpeakers.register(sp)
+    val sm = sp.sql(
+      "SELECT explode(split_speakers('MARCELLUS & BERNARDO (V.O.)')) AS s")
+      .collect().map(r => (r.getStruct(0).getString(0), r.getStruct(0).getString(1))).toVector
+    // the modifier binds to the piece that contains it (Analyzer.php:447)
+    assert(sm == Vector(("MARCELLUS", ""), ("BERNARDO", "V.O.")))
   }
 
   test("derived tables: scenes, dialog attribution, character counts") {
