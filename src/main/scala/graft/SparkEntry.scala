@@ -145,6 +145,20 @@ object SparkEntry {
 
     // ---- training-data pipeline ops over documents/embeddings ------------
     "q09_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "q28_dedup_canonical" -> ((s, dir) => {
+      // window-variant dedup keeping the minimum-id row per content
+      Dedup.keepCanonical(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q27_embed_dup_pairs" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs over the planted-duplicate corpus
+      // (see annDupCorpus): every >=0.95 pair is a planted identical-vector
+      // pair, found deterministically (same LSH bucket in every table)
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingCosinePairs(annDupCorpus(emb), threshold = 0.95)
+        .select(col("id_a"), col("id_b"))
+    }),
     "q10_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -310,6 +324,39 @@ object SparkEntry {
         "q24_split")
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
       Pipeline.speakerCounts(Pipeline.lines(Pipeline.extracted(transcripts))).limit(20)
+    }),
+    "q23b_stream_watermark" -> ((s, dir) => {
+      // watermarked event-time windowed aggregation over the extraction
+      // stream, parquet sink, AvailableNow. Append mode only emits windows
+      // CLOSED by the final watermark (max event time - 2h), so the oracle
+      // recomputes the same windows + the same cutoff rule in SQL from the
+      // materialized generator-derived expectation.
+      val n = math.min(nConvsFor(dir), 100L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q23b").toString
+      val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      transcripts.write.mode("overwrite").parquet(s"$tmp/in")
+      val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
+      val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("g_lines"))
+      materialize(
+        transcripts.filter(col("tool").isin("pdftohtml", "shakespeare"))
+          .select(col("conv_id"), col("turn_idx"), col("ts"),
+            when(col("tool") === "pdftohtml", "pdfxml")
+              .otherwise("shakespeare").as("format"))
+          .join(perTurn, Seq("conv_id", "turn_idx"), "left")
+          .na.fill(0L, Seq("g_lines")),
+        "q23b_expected")
+      val q = graft.streaming.StreamingExtract.startParquet(
+        graft.streaming.StreamingExtract.windowedCounts(
+          graft.streaming.StreamingExtract.extractedStream(
+            graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in"))),
+        s"$tmp/out", s"$tmp/ck")
+      q.awaitTermination(120000)
+      s.read.parquet(s"$tmp/out")
+        .select(col("window.start").as("win_start"), col("format"),
+          col("turns").cast("bigint").as("turns"),
+          col("lines").cast("bigint").as("lines"))
+        .orderBy(col("win_start"), col("format"))
     }),
     "q23_stream_windows" -> ((s, dir) => {
       // incremental extraction over a file stream, AvailableNow-triggered,
@@ -526,6 +573,32 @@ object SparkEntry {
       """SELECT kind, COUNT(*) AS n, CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
         | CAST(SUM(exp_frames) AS BIGINT) AS total_frames
         | FROM read_parquet('{MAT}/q22_expected/*.parquet')
-        | GROUP BY kind ORDER BY kind""".stripMargin.replace("\n", "")
+        | GROUP BY kind ORDER BY kind""".stripMargin.replace("\n", ""),
+    "q28_dedup_canonical" ->
+      """SELECT doc_id, lang, n_chars FROM
+        | (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "q27_embed_dup_pairs" ->
+      // exhaustive >=0.95 cosine pairs over the planted-duplicate corpus
+      """WITH cp AS (SELECT vec_id*10 + 1000000 + j AS vec_id, embedding
+        |   FROM embeddings, UNNEST([0,1,2,3,4]) AS t(j) WHERE vec_id < 8),
+        | a AS (SELECT vec_id, embedding FROM embeddings
+        |   UNION ALL SELECT vec_id, embedding FROM cp)
+        | SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        | FROM a x JOIN a y ON x.vec_id < y.vec_id
+        | WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.95
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
+    "q23b_stream_watermark" ->
+      // same window + watermark-cutoff rule, recomputed in SQL: append
+      // mode emits a window once the final watermark (max ts - 2h) has
+      // passed its END
+      """WITH e AS (SELECT ts, format, g_lines,
+        |     date_trunc('hour', ts) AS win_start
+        |   FROM read_parquet('{MAT}/q23b_expected/*.parquet')),
+        | m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM e)
+        | SELECT win_start, format, COUNT(*) AS turns,
+        |   CAST(SUM(g_lines) AS BIGINT) AS lines
+        | FROM e, m WHERE win_start + INTERVAL 1 HOUR <= wm
+        | GROUP BY win_start, format ORDER BY win_start, format""".stripMargin.replace("\n", "")
   )
 }
