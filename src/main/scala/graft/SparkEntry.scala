@@ -30,12 +30,21 @@ object SparkEntry {
 
   /** Where ground-truth parquet for `{MAT}` oracles is written. Verify
     * points this at its outDir via -Dgraft.mat.dir so the dumped oracle
-    * SQL and the written files agree.
+    * SQL and the written files agree. When the property is UNSET (Bench,
+    * ad-hoc runs) materialization is skipped entirely: the ground truth
+    * exists only for the DuckDB compare, and writing it inside a timed
+    * bench query would inflate the per-query numbers with work the bench
+    * never reads.
     */
-  def matDir: String = sys.props.getOrElse("graft.mat.dir", "/tmp/graft_mat")
+  def matDir: Option[String] = sys.props.get("graft.mat.dir")
 
-  private def materialize(df: DataFrame, name: String): Unit =
-    df.write.mode("overwrite").parquet(s"$matDir/$name")
+  /** write oracle ground truth; returns the path when verification is on */
+  private def materialize(df: => DataFrame, name: String): Option[String] =
+    matDir.map { base =>
+      val path = s"$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      path
+    }
 
   /** corpus for the q16/q26 planted-duplicate retrieval: the embeddings
     * plus 5 exact copies of each query vector under fresh ids.
@@ -313,15 +322,20 @@ object SparkEntry {
       // lookup from the unit-tested scalar split kernel, and re-derives
       // the attribution window + explode + count in SQL.
       val n = nConvsFor(dir)
-      val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
-      materialize(goldens, "q24_goldens")
-      val splitUdf = udf { (h: String) => Pipeline.splitSpeakerNames(h) }
-      materialize(
-        goldens.filter(col("kind") === "Character")
-          .select(col("text").as("heading")).distinct()
-          .select(col("heading"),
-            posexplode(splitUdf(col("heading"))).as(Seq("pos", "speaker"))),
-        "q24_split")
+      // the split lookup derives from the WRITTEN goldens parquet so the
+      // (expensive) generator lineage runs once, not once per materialize
+      materialize(Transcripts.goldens(s, n, seed = 42L).toDF(), "q24_goldens")
+        .foreach { goldensPath =>
+          materialize(
+            s.read.parquet(goldensPath)
+              .filter(col("kind") === "Character")
+              .select(col("text").as("heading")).distinct()
+              .select(col("heading"),
+                posexplode(graft.spark.SplitSpeakers(col("heading")))
+                  .as(Seq("pos", "sm")))
+              .select(col("heading"), col("pos"), col("sm.speaker").as("speaker")),
+            "q24_split")
+        }
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
       Pipeline.speakerCounts(Pipeline.lines(Pipeline.extracted(transcripts))).limit(20)
     }),

@@ -161,15 +161,22 @@ object Ann {
   /** All candidate pairs sharing an LSH bucket, scored with exact cosine
     * (the building block for embedding-based near-dup detection).
     */
+  /** NOTE (sizing): nPlanes bounds coverage under the hot-bucket cap —
+    * 2^nPlanes buckets per table must satisfy 2^nPlanes x maxBucket >=
+    * corpus size, or every bucket is over-cap and the op returns nothing.
+    * Watch `hotBucketSink` and raise nPlanes with the corpus.
+    */
   def candidatePairs(df: DataFrame, nPlanes: Int, nTables: Int, seed: Long,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      hotBucketSink: org.apache.spark.sql.DataFrame => Unit = null): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed0 = base.withColumn("tb", explode(array((0 until nTables).map { t =>
       struct(lit(t).as("table_id"), bucketUdf(seed, nPlanes, t)(col("vec")).as("bucket"))
     }: _*))).select(col("id"), col("vec"), col("tb.table_id"), col("tb.bucket"))
-    val (bucketed, _) = graft.ops.Dedup.capHotBuckets(
+    val (bucketed, hot) = graft.ops.Dedup.capHotBuckets(
       bucketed0, Seq("table_id", "bucket"), maxBucket)
+    if (hotBucketSink != null) hotBucketSink(hot)
     val a = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("table_id", "bucket"))

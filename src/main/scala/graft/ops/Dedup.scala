@@ -17,16 +17,28 @@ object Dedup {
     * before the join (exact dedup, which runs first in any sane pipeline,
     * owns identical content; LSH owns the near-dup tail). The dropped
     * keys are returned so callers can count/log them — a silent cap would
-    * read as full coverage.
+    * read as full coverage; the public ops below accept a `hotBucketSink`
+    * to surface it.
     *
-    * Cost: one map-side-combinable count per key + a broadcast anti-join
-    * (hot keys are few by construction) — no extra wide shuffle.
+    * Sizing note: the number of distinct buckets bounds coverage — e.g.
+    * hyperplane LSH with nPlanes=P has only 2^P buckets per table, so cap
+    * x 2^P must exceed the corpus size or EVERY bucket is hot and the op
+    * degenerates to empty output. Scale nPlanes/band count with the
+    * corpus (buckets >= corpus/cap), and watch the sink.
+    *
+    * Cost: one map-side-combinable count per key + an anti-join ON THE
+    * SAME KEY as the downstream self-join. No broadcast is forced: the
+    * count aggregate, the anti-join and the self-join all hash-partition
+    * by the bucket key, so Spark's exchange reuse evaluates the upstream
+    * (signature computation) once, and AQE may still turn the (tiny) hot
+    * side into a runtime broadcast AFTER its shuffle materializes —
+    * without ever collecting an unbounded set to the driver.
     */
   def capHotBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int): (DataFrame, DataFrame) = {
     val hot = bucketed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
-    val kept = bucketed.join(broadcast(hot.drop("bucket_n")), keyCols, "left_anti")
+    val kept = bucketed.join(hot.drop("bucket_n"), keyCols, "left_anti")
     (kept, hot)
   }
 
@@ -47,7 +59,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, nHashes: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      hotBucketSink: DataFrame => Unit = null): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
 
@@ -58,7 +71,8 @@ object Dedup {
     val banded = texts
       .select($"id", TextOps.minhash($"text", k, nHashes).as("sig"))
       .select($"id", posexplode(bandFn($"sig")).as(Seq("band_idx", "band_hash")))
-    val (kept, _) = capHotBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+    val (kept, hot) = capHotBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+    if (hotBucketSink != null) hotBucketSink(hot)
 
     val a = kept.select($"band_idx", $"band_hash", $"id".as("id_a"))
     val b = kept.select($"band_idx", $"band_hash", $"id".as("id_b"))
@@ -67,16 +81,19 @@ object Dedup {
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
-    // the candidate set is tiny relative to the corpus: broadcast it into
-    // both text lookups so the full text table is scanned (never shuffled)
-    // — two broadcast joins instead of two full-table shuffle joins
+    // candidate-driven text lookback: semi-join reduction first so only
+    // candidate texts flow into the pair join. No forced broadcast — the
+    // candidate set is usually small but is NOT bounded (duplicate-heavy
+    // corpora can emit billions of sub-cap pairs), so strategy is left to
+    // the planner/AQE, which broadcasts small sides at runtime and falls
+    // back to shuffle joins when they aren't.
     val jac = udf { (t1: String, t2: String) => MinHash.exactJaccard(t1, t2, k) }
     val withA = texts.select($"id".as("id_a"), $"text".as("text_a"))
-      .join(broadcast(candidates), Seq("id_a"))
+      .join(candidates, Seq("id_a"))
     val textsB = texts.select($"id".as("id_b"), $"text".as("text_b"))
-      .join(broadcast(candidates.select($"id_b").distinct()), Seq("id_b"), "left_semi")
+      .join(candidates.select($"id_b").distinct(), Seq("id_b"), "left_semi")
     withA
-      .join(broadcast(textsB), Seq("id_b"))
+      .join(textsB, Seq("id_b"))
       .withColumn("jaccard", jac($"text_a", $"text_b"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
@@ -88,7 +105,8 @@ object Dedup {
     * verify by full hamming distance. One shuffle on the chunk key.
     */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      hotBucketSink: DataFrame => Unit = null): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
     val fps = df.select(col(idCol).as("id"), TextOps.simhash64(col(textCol)).as("fp"))
@@ -97,7 +115,8 @@ object Dedup {
         struct(lit(i).as("chunk_idx"),
           shiftrightunsigned($"fp", i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
       .select($"id", $"fp", $"c.chunk_idx", $"c.chunk")
-    val (chunked, _) = capHotBuckets(chunked0, Seq("chunk_idx", "chunk"), maxBucket)
+    val (chunked, hot) = capHotBuckets(chunked0, Seq("chunk_idx", "chunk"), maxBucket)
+    if (hotBucketSink != null) hotBucketSink(hot)
     val a = chunked.select($"chunk_idx", $"chunk", $"id".as("id_a"), $"fp".as("fp_a"))
     val b = chunked.select($"chunk_idx", $"chunk", $"id".as("id_b"), $"fp".as("fp_b"))
     val ham = udf { (x: Long, y: Long) => SimHash.hamming(x, y) }

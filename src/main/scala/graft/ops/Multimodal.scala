@@ -137,14 +137,18 @@ object Multimodal {
       Decoded("image", i32be(b, 16), i32be(b, 20), 0, 1)
     } else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      // WAV: walk RIFF chunks for fmt (byteRate) and data (size)
+      // WAV: walk RIFF chunks for fmt (byteRate) and data (size). Chunk
+      // lengths are attacker-controlled: clamp and force forward progress
+      // so a corrupt length can never wedge the task in a loop (the
+      // never-crash contract includes never-hang).
       var o = 12; var byteRate = 0; var dataLen = -1L
       while (o + 8 <= b.length && (byteRate == 0 || dataLen < 0)) {
         val tag = new String(b, o, 4, "US-ASCII")
         val len = i32le(b, o + 4).toLong & 0xffffffffL
         if (tag == "fmt " && o + 16 <= b.length) byteRate = i32le(b, o + 16)
         if (tag == "data") dataLen = len
-        o += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        val step = 8L + len + (len & 1) // chunks are word-aligned
+        o = if (o + step > b.length) b.length else (o + step).toInt
       }
       if (byteRate <= 0 || dataLen < 0) Decoded("unknown", 0, 0, 0, 0)
       else Decoded("audio", 0, 0, (dataLen * 1000L / byteRate).toInt, 0)

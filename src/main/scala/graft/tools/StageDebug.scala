@@ -23,7 +23,11 @@ object StageDebug {
         t(223 + 108 * i, 108, "He kicks the door frame once more."))))
 
   def main(args: Array[String]): Unit = {
-    val variant = args.headOption.map(_.toInt).getOrElse(0)
+    val variant = args.headOption.flatMap(_.toIntOption).getOrElse(0)
+    if (variant < 0 || variant > 3) {
+      System.err.println("usage: StageDebug [0..3] (fixture variant)")
+      sys.exit(2)
+    }
     val page = variant match {
       case 0 => pg(Seq(
         t(79, 400, "FRANK"),

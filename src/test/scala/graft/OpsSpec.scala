@@ -62,9 +62,14 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val all = sp.createDataFrame(normal ++ copies).toDF("doc_id", "text")
 
-    // the cap drops the mega-bucket: no pair among the 1000 copies
-    val pairs = Dedup.minhashLsh(all, threshold = 0.9, maxBucket = 100)
+    // the cap drops the mega-bucket: no pair among the 1000 copies — and
+    // the sink surfaces exactly what was dropped (nothing silent)
+    var sunk: org.apache.spark.sql.DataFrame = null
+    val pairs = Dedup.minhashLsh(all, threshold = 0.9, maxBucket = 100,
+      hotBucketSink = df => sunk = df)
     assert(pairs.filter($"id_a" >= 100000L && $"id_b" >= 100000L).count() == 0)
+    assert(sunk != null && sunk.count() == 16 &&
+      sunk.collect().forall(_.getLong(2) == 1000L))
 
     // and the guard reports what it dropped (nothing silent)
     val bandFn = udf { (sig: Seq[Long]) => MinHash.bands(sig.toArray, 4) }
@@ -162,6 +167,14 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decode(Array.empty[Byte]).kind == "unknown")
     assert(Multimodal.decode("GIF89a".getBytes).kind == "unknown")
     assert(Multimodal.decode(Array.fill[Byte](64)(0x2c)).kind == "unknown")
+    // corrupt RIFF chunk lengths (negative-as-signed / huge) must
+    // terminate, not hang the walk
+    val evil = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ Array[Byte](-8, -1, -1, -1) ++ Array.fill[Byte](32)(7)
+    assert(Multimodal.decode(evil).kind == "unknown")
+    val evil2 = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.decode(evil2).kind == "unknown") // zero-len fmt loop
     val m1 = Multimodal.features(Multimodal.synthesize(spark, 30)).collect().sortBy(_.media_id)
     val m2 = Multimodal.features(Multimodal.synthesize(spark, 30)).collect().sortBy(_.media_id)
     assert(m1.toSeq == m2.toSeq)
