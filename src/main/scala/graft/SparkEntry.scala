@@ -339,6 +339,39 @@ object SparkEntry {
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
       Pipeline.speakerCounts(Pipeline.lines(Pipeline.extracted(transcripts))).limit(20)
     }),
+    "q29_bucketed_checkpoints" -> ((s, dir) => {
+      // the north-rule table story end-to-end: write the conv_id-bucketed
+      // table (snapshot metadata + salted files), extract through the
+      // per-bucket checkpoint manifests, run a second pass to prove resume
+      // is a no-op, and aggregate the checkpointed OUTPUT per bucket. The
+      // oracle recomputes per-bucket expectations from golden line counts
+      // joined with the materialized bucket mapping.
+      val n = nConvsFor(dir)
+      val nBuckets = 16
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q29").toString
+      val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      graft.spark.TranscriptTable.write(transcripts, s"$tmp/table", nBuckets, snapshotId = 1L)
+      val c1 = graft.spark.TranscriptTable.extractWithCheckpoints(
+        s, s"$tmp/table", s"$tmp/out", nBuckets)
+      val c2 = graft.spark.TranscriptTable.extractWithCheckpoints(
+        s, s"$tmp/table", s"$tmp/out", nBuckets) // all buckets committed
+      require(c1 == c2, s"checkpoint resume must be a no-op: $c1 vs $c2")
+      val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
+      val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("g_lines"))
+      materialize(
+        transcripts.filter(col("tool").isin("pdftohtml", "shakespeare"))
+          .select(col("conv_id"), col("turn_idx"),
+            graft.spark.TranscriptTable.bucketCol(nBuckets).as("bucket"))
+          .join(perTurn, Seq("conv_id", "turn_idx"), "left")
+          .na.fill(0L, Seq("g_lines")),
+        "q29_expected")
+      s.read.parquet(s"$tmp/out/data")
+        .groupBy(col("bucket").cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("n_lines")).cast("bigint").as("n_lines"))
+        .orderBy(col("bucket"))
+    }),
     "q23b_stream_watermark" -> ((s, dir) => {
       // watermarked event-time windowed aggregation over the extraction
       // stream, parquet sink, AvailableNow. Append mode only emits windows
@@ -602,6 +635,11 @@ object SparkEntry {
         | FROM a x JOIN a y ON x.vec_id < y.vec_id
         | WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.95
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
+    "q29_bucketed_checkpoints" ->
+      """SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_turns,
+        | CAST(SUM(g_lines) AS BIGINT) AS n_lines
+        | FROM read_parquet('{MAT}/q29_expected/*.parquet')
+        | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", ""),
     "q23b_stream_watermark" ->
       // same window + watermark-cutoff rule, recomputed in SQL: append
       // mode emits a window once the final watermark (max ts - 2h) has
