@@ -14,17 +14,70 @@ import org.apache.spark.sql.functions._
   *   buckets; queries only score vectors sharing a bucket in at least one
   *   of `nTables` tables. Corpus shuffles once on the bucket key.
   */
+/** cosine_sim(a, b) over two float vectors as a native Catalyst Expression
+  * (no per-row Seq boxing; the surrounding joins/windows stay codegen'd,
+  * the kernel evaluates via CodegenFallback).
+  */
+case class CosineSimExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Ann.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+/** hyperplane_bucket(vec): sign-random-projection LSH signature for one
+  * table, as a native Expression — this runs once per (corpus row x
+  * table), the hottest scalar in the ANN path.
+  */
+case class HyperplaneBucketExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    seed: Long, nPlanes: Int, table: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) {
+        dot += v(j) * Ann.planeComponent(seed, (table.toLong * nPlanes + p) * 4096L + j)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneBucketExpr =
+    copy(child = c)
+}
+
 object Ann {
 
   /** deterministic pseudo-random hyperplanes: component j of plane p for
     * table t = remix(t*dims*planes + p*dims + j) scaled to [-1, 1)
     */
-  private def planeComponent(seed: Long, idx: Long): Double = {
+  private[ops] def planeComponent(seed: Long, idx: Long): Double = {
     val h = Hash64.remix(seed ^ 0x5bf03635, (idx & 0x7fffffff).toInt)
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  private def cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  private[ops] def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -37,21 +90,17 @@ object Ann {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  private def bucketUdf(seed: Long, nPlanes: Int, table: Int) = udf { (v: Seq[Float]) =>
-    var sig = 0L
-    var p = 0
-    while (p < nPlanes) {
-      var dot = 0.0
-      var j = 0
-      while (j < v.length) {
-        dot += v(j) * planeComponent(seed, (table.toLong * nPlanes + p) * 4096L + j)
-        j += 1
-      }
-      if (dot >= 0) sig |= (1L << p)
-      p += 1
-    }
-    sig
-  }
+  private def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.Bridge.column(CosineSimExpr(
+      org.apache.spark.sql.graftbridge.Bridge.expression(a),
+      org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+  private def cosineSim = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    cosineCol(a, b)
+
+  private def bucketSig(seed: Long, nPlanes: Int, table: Int) =
+    (v: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graftbridge.Bridge.column(HyperplaneBucketExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), seed, nPlanes, table))
 
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the first
     * `nCentroids` corpus vectors by id, refined by one Lloyd step over the
@@ -136,7 +185,7 @@ object Ann {
     val candidates = corpusCells.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("cosine", cosineUdf(col("query_vec"), col("corpus_vec")))
+      .withColumn("cosine", cosineSim(col("query_vec"), col("corpus_vec")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -150,7 +199,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", cosineUdf(col("query_vec"), col("corpus_vec")))
+      .withColumn("cosine", cosineSim(col("query_vec"), col("corpus_vec")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -172,7 +221,7 @@ object Ann {
       hotBucketSink: org.apache.spark.sql.DataFrame => Unit = null): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed0 = base.withColumn("tb", explode(array((0 until nTables).map { t =>
-      struct(lit(t).as("table_id"), bucketUdf(seed, nPlanes, t)(col("vec")).as("bucket"))
+      struct(lit(t).as("table_id"), bucketSig(seed, nPlanes, t)(col("vec")).as("bucket"))
     }: _*))).select(col("id"), col("vec"), col("tb.table_id"), col("tb.bucket"))
     val (bucketed, hot) = graft.ops.Dedup.capHotBuckets(
       bucketed0, Seq("table_id", "bucket"), maxBucket)
@@ -182,7 +231,7 @@ object Ann {
     a.join(b, Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosineUdf(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", cosineSim(col("vec_a"), col("vec_b")))
   }
 
   /** Hyperplane-LSH bucketed ANN top-k. Recall grows with nTables;
@@ -195,14 +244,14 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     def withBuckets(df: DataFrame, vc: String): DataFrame =
       df.withColumn("tb", explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("table_id"), bucketUdf(seed, nPlanes, t)(col(vc)).as("bucket"))
+        struct(lit(t).as("table_id"), bucketSig(seed, nPlanes, t)(col(vc)).as("bucket"))
       }: _*))).select(df.columns.map(col) :+ col("tb.table_id") :+ col("tb.bucket"): _*)
     val cb = withBuckets(c, "corpus_vec")
     val qb = withBuckets(q, "query_vec")
     val candidates = cb.join(qb, Seq("table_id", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("cosine", cosineUdf(col("query_vec"), col("corpus_vec")))
+      .withColumn("cosine", cosineSim(col("query_vec"), col("corpus_vec")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
