@@ -25,6 +25,11 @@ object ScreenplayGen {
   final case class Dia(lines: Vector[String]) extends Elem
   final case class Par(text: String) extends Elem
   final case class Trans(text: String) extends Elem
+  /** side-by-side dual dialog (C10): left/right Character rows share a
+    * top, dialog columns at the canonical dual offsets
+    */
+  final case class Dual(nameL: String, linesL: Vector[String],
+      nameR: String, linesR: Vector[String]) extends Elem
 
   final case class Doc(xml: String, expected: Vector[(String, String, Int, String)])
   // expected tuples: (kind, text, pageNum, givenPageNum)
@@ -44,6 +49,28 @@ object ScreenplayGen {
   private def sentence(r: java.util.SplittableRandom, n: Int): String = {
     val ws = (0 until n).map(_ => words(r.nextInt(words.length)))
     ws.head.capitalize + ws.tail.map(" " + _).mkString + "."
+  }
+
+  /** [[elements]] plus occasional dual-dialog exchanges — kept out of the
+    * default stream so existing seed-derived corpora/goldens/snapshots
+    * stay byte-identical.
+    */
+  def elementsWithDual(seed: Long, nScenes: Int): Vector[Elem] = {
+    val r = new java.util.SplittableRandom(seed ^ 0xD0A1L)
+    val base = elements(seed, nScenes)
+    val out = ArrayBuffer.empty[Elem]
+    base.foreach { e =>
+      out += e
+      if (e.isInstanceOf[Dia] && r.nextInt(3) == 0) {
+        val nL = names(r.nextInt(names.length))
+        var nR = names(r.nextInt(names.length))
+        if (nR == nL) nR = names((names.indexOf(nL) + 1) % names.length)
+        def speech(): Vector[String] =
+          (0 until 1 + r.nextInt(3)).map(_ => sentence(r, 2 + r.nextInt(3))).toVector
+        out += Dual(nL, speech(), nR, speech())
+      }
+    }
+    out.toVector
   }
 
   /** A seeded screenplay element stream. */
@@ -166,6 +193,7 @@ object ScreenplayGen {
       case Par(t)   => ("Paren", Vector(t), xPar, 24)
       case Dia(ls)  => ("Dialog", ls, xDia, 24)
       case Trans(t) => ("Transition", Vector(t), xTrans, 36)
+      case _: Dual  => throw new IllegalStateException("Dual renders via emitDual")
     }
 
     var fresh = false // a page is open with no body line yet
@@ -176,6 +204,34 @@ object ScreenplayGen {
       curPageNum = bodyPageCount + 1 // engine: body always starts at page 2
       top = 0
       fresh = true
+    }
+
+    /** Emit a dual-dialog exchange (C10 canonical layout, mirroring the
+      * geometry the reference's recovery pass expects: character row at
+      * 252/480, dialog columns at 180/450). Expected output is the
+      * recovery's splice order: left Character (hasDualLine) + merged left
+      * Dialog, then right Character (isDualLine) + merged right Dialog.
+      */
+    def emitDual(d: Dual): Unit = {
+      val rows = 1 + math.max(d.linesL.length, d.linesR.length)
+      val needed = (if (fresh) 79 else top + 36) + (rows - 1) * 24
+      if (bodyPageCount == 0 || (!fresh && needed > maxTop)) newPage()
+      top = if (fresh) 79 else top + 36
+      fresh = false
+      textLine(top, xDia, d.nameL)
+      textLine(top, 480, d.nameR)
+      var i = 0
+      val nRows = math.max(d.linesL.length, d.linesR.length)
+      while (i < nRows) {
+        top += 24
+        if (i < d.linesL.length) textLine(top, 180, d.linesL(i))
+        if (i < d.linesR.length) textLine(top, 450, d.linesR(i))
+        i += 1
+      }
+      expected += (("Character", d.nameL, curPageNum, givenOf(pageNo)))
+      expected += (("Dialog", d.linesL.mkString(" "), curPageNum, givenOf(pageNo)))
+      expected += (("Character", d.nameR, curPageNum, givenOf(pageNo)))
+      expected += (("Dialog", d.linesR.mkString(" "), curPageNum, givenOf(pageNo)))
     }
 
     /** Emit a group atomically on one page. A Character split from its
@@ -222,7 +278,10 @@ object ScreenplayGen {
         case e => groups += Vector(e); gi += 1
       }
     }
-    groups.foreach(emitGroup)
+    groups.foreach {
+      case Vector(d: Dual) => emitDual(d)
+      case g               => emitGroup(g)
+    }
     if (top != 0) closePage()
     xml.append("</pdf2xml>\n")
     Doc(xml.toString, expected.toVector)
