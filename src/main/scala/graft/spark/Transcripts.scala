@@ -53,8 +53,11 @@ object Transcripts {
       if (role == "assistant") {
         val docSeed = seed ^ (k * 7919L + ti)
         if (r.nextBoolean()) {
+          // elementsWithDual: ~1 in 3 speeches is followed by a dual-dialog
+          // exchange, so the headline corpus exercises the C10 recovery
+          // splice at every scale, not just in fixtures
           val doc = ScreenplayGen.render(
-            ScreenplayGen.elements(docSeed, 2 + r.nextInt(4)),
+            ScreenplayGen.elementsWithDual(docSeed, 2 + r.nextInt(4)),
             ScreenplayGen.Options(headerText = s"TRANSCRIPT $id"))
           val goldens = doc.expected.zipWithIndex.map { case ((kind, text, page, given), li) =>
             GoldenLine(id, ti, li, kind, text, page, given)

@@ -65,9 +65,16 @@ object ScreenplayGen {
         val nL = names(r.nextInt(names.length))
         var nR = names(r.nextInt(names.length))
         if (nR == nL) nR = names((names.indexOf(nL) + 1) % names.length)
-        def speech(): Vector[String] =
+        // LEFT lines stay two words: a left line reaching within 12
+        // spaces (84px) of the right column at 450 would merge into one
+        // block piece and go through the recovery's SPLIT path, whose
+        // output splice the hand fixtures pin — this family exercises the
+        // clean-column combine path across seeds
+        def speechL(): Vector[String] =
+          (0 until 1 + r.nextInt(3)).map(_ => sentence(r, 2)).toVector
+        def speechR(): Vector[String] =
           (0 until 1 + r.nextInt(3)).map(_ => sentence(r, 2 + r.nextInt(3))).toVector
-        out += Dual(nL, speech(), nR, speech())
+        out += Dual(nL, speechL(), nR, speechR())
       }
     }
     out.toVector
