@@ -75,11 +75,36 @@ object Bench {
       exOnlySecs.sorted.apply(exOnlySecs.length / 2), mismatches)
   }
 
+  private def extractionJson(ex: ExtractionBench): String = {
+    val turnsPerSec = if (ex.medianSecs > 0) ex.turns / ex.medianSecs else 0.0
+    val exOnlyPerSec = if (ex.extractOnlySecs > 0) ex.turns / ex.extractOnlySecs else 0.0
+    val j = new StringBuilder
+    j ++= "{\"turns\":" ++= ex.turns.toString
+    j ++= ",\"seconds\":" ++= f"${ex.medianSecs}%.3f"
+    j ++= ",\"turns_per_sec\":" ++= f"$turnsPerSec%.1f"
+    j ++= ",\"run_secs\":" ++= ex.runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    j ++= ",\"extract_only_turns_per_sec\":" ++= f"$exOnlyPerSec%.1f"
+    j ++= ",\"mismatches\":" ++= ex.mismatches.toString ++= "}"
+    j.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
+
+    // Headline FIRST, in the pristine JVM — the standalone protocol
+    // BENCH/BASELINE.md quotes. Rounds 1-2 measured it AFTER the 31-query
+    // sweep and the accumulated JVM/heap/codegen-cache state depressed it
+    // up to 16x with a 4.7x within-run spread (BENCH_r02 run_secs
+    // 35.1/7.5/32.3). The same measurement is repeated post-sweep below so
+    // both orders stay visible in every BENCH_r{N}.json.
+    val nConvs = if (sfDir.contains("0.1")) 20000L else if (sfDir.contains("0.01")) 2000L else 200L
+    val ex = extractionBench(spark, nConvs, cpus.toInt)
+
+    // untimed: materialize synthesized inputs the timed queries read (q22)
+    SparkEntry.prewarm(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -87,11 +112,8 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: extraction turns/sec with per-turn equality, median of 3
-    val nConvs = if (sfDir.contains("0.1")) 20000L else if (sfDir.contains("0.01")) 2000L else 200L
-    val ex = extractionBench(spark, nConvs, cpus.toInt)
-    val turnsPerSec = if (ex.medianSecs > 0) ex.turns / ex.medianSecs else 0.0
-    val exOnlyPerSec = if (ex.extractOnlySecs > 0) ex.turns / ex.extractOnlySecs else 0.0
+    // same measurement after the sweep: quantifies harness-state drift
+    val exPost = extractionBench(spark, nConvs, cpus.toInt)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -100,12 +122,8 @@ object Bench {
     json ++= "{\"metric\":\"total\",\"value\":" ++= f"$total%.3f"
     json ++= ",\"unit\":\"sec\",\"queries\":" ++= qs
     json ++= ",\"sf\":\"" ++= sfDir ++= "\""
-    json ++= ",\"extraction\":{\"turns\":" ++= ex.turns.toString
-    json ++= ",\"seconds\":" ++= f"${ex.medianSecs}%.3f"
-    json ++= ",\"turns_per_sec\":" ++= f"$turnsPerSec%.1f"
-    json ++= ",\"run_secs\":" ++= ex.runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    json ++= ",\"extract_only_turns_per_sec\":" ++= f"$exOnlyPerSec%.1f"
-    json ++= ",\"mismatches\":" ++= ex.mismatches.toString ++= "}"
+    json ++= ",\"extraction\":" ++= extractionJson(ex)
+    json ++= ",\"extraction_post_sweep\":" ++= extractionJson(exPost)
     json ++= ",\"cpus\":" ++= cpus ++= "}"
     println(json.toString)
     spark.stop()

@@ -67,6 +67,37 @@ case class HyperplaneBucketExpr(child: org.apache.spark.sql.catalyst.expressions
     copy(child = c)
 }
 
+/** Lloyd-step mean of whole vectors per cell, as a top-level Aggregator.
+  * Deliberately OUTSIDE ivfTopK: an anonymous Aggregator defined in that
+  * scope captures the SparkSession through `sp.implicits` encoder
+  * resolution, and a captured session is a serialization bomb — it
+  * serializes only while session-held lazy state (e.g. the observation
+  * manager, initialized by the first observe() anywhere in the session)
+  * is still null. Top-level + session-free ExpressionEncoders = nothing
+  * to capture.
+  */
+private[ops] final class MeanVecAgg(dims: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Float], (Long, Array[Double]), Array[Float]] {
+  def zero: (Long, Array[Double]) = (0L, new Array[Double](dims))
+  def reduce(b: (Long, Array[Double]), v: Seq[Float]): (Long, Array[Double]) = {
+    var i = 0; val n = math.min(dims, v.length)
+    while (i < n) { b._2(i) += v(i); i += 1 }
+    (b._1 + 1, b._2)
+  }
+  def merge(x: (Long, Array[Double]), y: (Long, Array[Double])): (Long, Array[Double]) = {
+    var i = 0
+    while (i < dims) { x._2(i) += y._2(i); i += 1 }
+    (x._1 + y._1, x._2)
+  }
+  def finish(b: (Long, Array[Double])): Array[Float] =
+    if (b._1 == 0) Array.empty else b._2.map(s => (s / b._1).toFloat)
+  def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Array[Double])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object Ann {
 
   /** deterministic pseudo-random hyperplanes: component j of plane p for
@@ -141,24 +172,7 @@ object Ann {
     // 10^12 rows for the same 16 numbers-per-dim.
     val refined: Array[Array[Float]] = {
       import sp.implicits._
-      val meanVec = new org.apache.spark.sql.expressions.Aggregator[
-          Seq[Float], (Long, Array[Double]), Array[Float]] {
-        def zero: (Long, Array[Double]) = (0L, new Array[Double](dims))
-        def reduce(b: (Long, Array[Double]), v: Seq[Float]): (Long, Array[Double]) = {
-          var i = 0; val n = math.min(dims, v.length)
-          while (i < n) { b._2(i) += v(i); i += 1 }
-          (b._1 + 1, b._2)
-        }
-        def merge(x: (Long, Array[Double]), y: (Long, Array[Double])): (Long, Array[Double]) = {
-          var i = 0
-          while (i < dims) { x._2(i) += y._2(i); i += 1 }
-          (x._1 + y._1, x._2)
-        }
-        def finish(b: (Long, Array[Double])): Array[Float] =
-          if (b._1 == 0) Array.empty else b._2.map(s => (s / b._1).toFloat)
-        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Array[Double])]]
-        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Float]]]
-      }
+      val meanVec = new MeanVecAgg(dims)
       val means = assigned0.select(col("cell"), col("corpus_vec"))
         .as[(Int, Seq[Float])]
         .groupByKey(_._1).mapValues(_._2)
@@ -224,7 +238,7 @@ object Ann {
       struct(lit(t).as("table_id"), bucketSig(seed, nPlanes, t)(col("vec")).as("bucket"))
     }: _*))).select(col("id"), col("vec"), col("tb.table_id"), col("tb.bucket"))
     val (bucketed, hot) = graft.ops.Dedup.capHotBuckets(
-      bucketed0, Seq("table_id", "bucket"), maxBucket)
+      bucketed0, Seq("table_id", "bucket"), maxBucket, "cand_pairs")
     if (hotBucketSink != null) hotBucketSink(hot)
     val a = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("table_id"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
@@ -236,10 +250,25 @@ object Ann {
 
   /** Hyperplane-LSH bucketed ANN top-k. Recall grows with nTables;
     * candidates per query shrink ~2^-nPlanes per table.
+    *
+    * The corpus⋈queries join is bounded by |queries| x collisions, but a
+    * single HOT corpus bucket (10^6 copies of one document's embedding)
+    * would still meet every colliding query inside one task, so the corpus
+    * side gets the same cap + sink contract as [[candidatePairs]]. Unlike
+    * the self-join ops the cap here must NOT shuffle the corpus (the main
+    * join is a broadcast of the tiny query side — the corpus never moves):
+    * the hot-key count aggregates a keys-only projection map-side, and the
+    * anti-join's build side is bounded by the bucket-key space
+    * (<= nTables x 2^nPlanes rows), which AQE broadcasts at runtime. The
+    * cost is one extra bucketSig evaluation per corpus row — recompute
+    * beats shuffling whole vectors. Drops ride the observe() metric
+    * (WARN-logged, never silent) plus the opt-in `hotBucketSink`.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 10000,
+      hotBucketSink: org.apache.spark.sql.DataFrame => Unit = null): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     def withBuckets(df: DataFrame, vc: String): DataFrame =
@@ -248,7 +277,14 @@ object Ann {
       }: _*))).select(df.columns.map(col) :+ col("tb.table_id") :+ col("tb.bucket"): _*)
     val cb = withBuckets(c, "corpus_vec")
     val qb = withBuckets(q, "query_vec")
-    val candidates = cb.join(qb, Seq("table_id", "bucket"))
+    val hot = cb.groupBy(col("table_id"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+    if (hotBucketSink != null) hotBucketSink(hot)
+    val cbKept = cb.join(
+      graft.ops.Dedup.observeHot(hot, "lsh_topk").drop("bucket_n"),
+      Seq("table_id", "bucket"), "left_anti")
+    val candidates = cbKept.join(qb, Seq("table_id", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .dropDuplicates("query_id", "corpus_id")
       .withColumn("cosine", cosineSim(col("query_vec"), col("corpus_vec")))

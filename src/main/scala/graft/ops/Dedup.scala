@@ -26,21 +26,67 @@ object Dedup {
     * degenerates to empty output. Scale nPlanes/band count with the
     * corpus (buckets >= corpus/cap), and watch the sink.
     *
-    * Cost: one map-side-combinable count per key + an anti-join ON THE
-    * SAME KEY as the downstream self-join. No broadcast is forced: the
-    * count aggregate, the anti-join and the self-join all hash-partition
-    * by the bucket key, so Spark's exchange reuse evaluates the upstream
-    * (signature computation) once, and AQE may still turn the (tiny) hot
-    * side into a runtime broadcast AFTER its shuffle materializes —
-    * without ever collecting an unbounded set to the driver.
+    * Cost: the banded frame is pre-shuffled ON THE BUCKET KEY once, and
+    * every consumer — the hot-bucket count, the anti-join, and the
+    * caller's downstream self-join on the same key — reads that ONE
+    * exchange via ReusedExchange (verified in BENCH/PLANS.md), so the
+    * expensive upstream (signature computation) is evaluated once, not
+    * once per consumer. No broadcast is forced: AQE may still turn the
+    * (tiny) hot side into a runtime broadcast AFTER its shuffle
+    * materializes — without ever collecting an unbounded set to the
+    * driver.
+    *
+    * Dropping is never silent: the hot side carries an observe() metric
+    * (`graft_hot_buckets_*`) that rides the caller's action — zero extra
+    * jobs — and a session-level listener WARN-logs any non-zero drop.
+    * Callers wanting the dropped keys programmatically pass a
+    * `hotBucketSink` (that read is a separate action and re-executes the
+    * upstream — opt-in by design).
     */
-  def capHotBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int): (DataFrame, DataFrame) = {
-    val hot = bucketed.groupBy(keyCols.map(col): _*)
+  def capHotBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int,
+      opTag: String = "lsh"): (DataFrame, DataFrame) = {
+    val pre = bucketed.repartition(keyCols.map(col): _*)
+    val hot = pre.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
-    val kept = bucketed.join(hot.drop("bucket_n"), keyCols, "left_anti")
+    val kept = pre.join(observeHot(hot, opTag).drop("bucket_n"), keyCols, "left_anti")
     (kept, hot)
   }
+
+  /** attach the never-silent drop metric to a hot-bucket frame and make
+    * sure the WARN-logging listener is registered on its session
+    */
+  private[ops] def observeHot(hot: DataFrame, opTag: String): DataFrame = {
+    ensureHotListener(hot.sparkSession)
+    // the counter keeps names unique across ops within one query; the
+    // SAME observed subtree may legally appear twice (self-join legs)
+    val name = s"graft_hot_buckets_${opTag}_${hotOpCounter.incrementAndGet()}"
+    hot.observe(name,
+      count(lit(1)).as("hot_buckets"),
+      sum(col("bucket_n")).as("dropped_rows"),
+      max(col("bucket_n")).as("max_bucket_n"))
+  }
+
+  private val hotOpCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val hotListenerSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private def ensureHotListener(sp: org.apache.spark.sql.SparkSession): Unit =
+    if (hotListenerSessions.add(sp)) {
+      sp.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_hot_buckets_") && !row.isNullAt(0) && row.getLong(0) > 0)
+              org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
+                s"$name: ${row.getLong(0)} bucket key(s) over cap dropped " +
+                  s"(${row.getLong(1)} rows, largest ${row.getLong(2)}); near-dup " +
+                  "coverage is partial — raise bands/planes or the cap, or attach hotBucketSink")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+      })
+    }
 
   /** Exact dedup by content hash: ONE shuffle on the 128-bit md5 of the
     * text. Returns one row per distinct content with the canonical
@@ -71,7 +117,7 @@ object Dedup {
     val banded = texts
       .select($"id", TextOps.minhash($"text", k, nHashes).as("sig"))
       .select($"id", posexplode(bandFn($"sig")).as(Seq("band_idx", "band_hash")))
-    val (kept, hot) = capHotBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+    val (kept, hot) = capHotBuckets(banded, Seq("band_idx", "band_hash"), maxBucket, "minhash")
     if (hotBucketSink != null) hotBucketSink(hot)
 
     val a = kept.select($"band_idx", $"band_hash", $"id".as("id_a"))
@@ -115,7 +161,7 @@ object Dedup {
         struct(lit(i).as("chunk_idx"),
           shiftrightunsigned($"fp", i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
       .select($"id", $"fp", $"c.chunk_idx", $"c.chunk")
-    val (chunked, hot) = capHotBuckets(chunked0, Seq("chunk_idx", "chunk"), maxBucket)
+    val (chunked, hot) = capHotBuckets(chunked0, Seq("chunk_idx", "chunk"), maxBucket, "simhash")
     if (hotBucketSink != null) hotBucketSink(hot)
     val a = chunked.select($"chunk_idx", $"chunk", $"id".as("id_a"), $"fp".as("fp_a"))
     val b = chunked.select($"chunk_idx", $"chunk", $"id".as("id_b"), $"fp".as("fp_b"))

@@ -115,6 +115,24 @@ object Multimodal {
     }
   }
 
+  /** Media corpus memoized to parquet, keyed on (n, seed): synthesis emits
+    * hundreds of MB of container bytes, so it runs ONCE per JVM and lands
+    * in files; every subsequent reader scans parquet. This keeps timed
+    * decode benchmarks measuring read->decode->stats, not generator CPU
+    * (round-2 q22 spent 30s of its 30.4s wall synthesizing WAV payloads
+    * inside the timed query).
+    */
+  private val corpusCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def corpus(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    val path = corpusCache.computeIfAbsent(s"$n:$seed", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_media").toString + "/corpus"
+      synthesize(spark, n, seed).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    spark.read.parquet(path).as[MediaRow]
+  }
+
   // ---- decoder (the real thing: container-structure parsing) --------------
 
   final case class Decoded(kind: String, width: Int, height: Int,
@@ -145,7 +163,10 @@ object Multimodal {
       while (o + 8 <= b.length && (byteRate == 0 || dataLen < 0)) {
         val tag = new String(b, o, 4, "US-ASCII")
         val len = i32le(b, o + 4).toLong & 0xffffffffL
-        if (tag == "fmt " && o + 16 <= b.length) byteRate = i32le(b, o + 16)
+        // byteRate sits at body offset 8 (o+16), a 4-byte read -> needs
+        // o+20 in bounds; a payload truncated INSIDE the fmt chunk must
+        // take this structured fallback, not the NonFatal catch-all
+        if (tag == "fmt " && o + 20 <= b.length) byteRate = i32le(b, o + 16)
         if (tag == "data") dataLen = len
         val step = 8L + len + (len & 1) // chunks are word-aligned
         o = if (o + step > b.length) b.length else (o + step).toInt

@@ -147,18 +147,23 @@ object TranscriptTable {
         commitBucket(outRoot, b, snapshotId, nBuckets, Counters(0, 0, 0))
       } else {
       val in = spark.read.parquet(s"$tableRoot/data/bucket=$b")
+      // counters ride the write itself via observe() (SURVEY §2.5): the
+      // metrics are collected from the rows as they flow into the parquet
+      // sink, so the manifest commits in ONE output pass — the round-2
+      // read-back-and-recount doubled output I/O per bucket, which at
+      // 100x scale is real money. A task that fails after writing still
+      // doesn't commit: the manifest only lands after the job succeeds.
+      val obs = org.apache.spark.sql.Observation(s"graft_ckpt_b$b")
       Pipeline.extracted(in)
         .withColumn("n_lines", size(col("ex.lines")))
         .withColumn("bytes", col("ex.bytes"))
+        .observe(obs, count(lit(1)).as("turns"),
+          coalesce(sum(col("bytes")), lit(0L)).as("bytes"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outRoot/data/bucket=$b")
-      // counters from the written output: one pass over the (small)
-      // extracted data, which also validates the write before commit
-      val row = spark.read.parquet(s"$outRoot/data/bucket=$b")
-        .agg(count(lit(1)).as("turns"),
-          coalesce(sum(col("bytes")), lit(0L)).as("bytes")).head()
+      val m = obs.get
       commitBucket(outRoot, b, snapshotId, nBuckets,
-        Counters(row.getLong(0), row.getLong(1), 0))
+        Counters(m("turns").asInstanceOf[Long], m("bytes").asInstanceOf[Long], 0))
       }
     }
     readCounters(outRoot)

@@ -14,12 +14,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingExtract {
 
-  /** file-source stream over a transcripts parquet directory */
-  def readTranscripts(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(Transcripts.schema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(dir)
+  /** File-source stream over a transcripts parquet directory.
+    *
+    * `maxFilesPerTrigger` is OPT-IN (`Some(n)`), not a default: the file
+    * source orders files by modification time, which is near-identical for
+    * parallel-written parquet, so a bounded trigger over historical
+    * (time-unordered) input makes any downstream watermark advance
+    * batch-order-dependently — later batches' older events get dropped as
+    * late data NONDETERMINISTICALLY (round-2 q23b failure, 69 vs 141 rows).
+    * For backfill over unordered history, ingest in one AvailableNow batch
+    * (`maxFilesPerTrigger = None`): the watermark only moves after all data
+    * is in, so append mode emits exactly the windows closed by
+    * `max(ts) - delay`. Bounded triggers are safe for LIVE tailing, where
+    * arrival order tracks event time; see the late-drop pinning test in
+    * StreamingSpec for the unordered-history failure mode.
+    */
+  def readTranscripts(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(Transcripts.schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(dir)
+  }
 
   /** incremental extraction: each micro-batch extracts newly arrived turns */
   def extractedStream(transcripts: DataFrame): DataFrame =

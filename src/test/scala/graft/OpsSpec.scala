@@ -129,6 +129,33 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall") // 3 planes x 8 tables
   }
 
+  test("ANN: lshTopK caps planted hot corpus buckets (drops surfaced, query still served)") {
+    val sp = spark
+    import sp.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 1000 copies of vector 0 under fresh ids: they share EVERY bucket in
+    // every table, so without the cap one bucket funnels 1000 corpus rows
+    // into a single task per colliding query
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val copies = sp.range(200000, 201000).select(col("id").as("vec_id"),
+      typedLit(v0).as("embedding"), lit(0L).as("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").union(copies)
+    var sunk: org.apache.spark.sql.DataFrame = null
+    val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+    // nPlanes=5 -> 32 buckets/table: natural load ~16/bucket stays far
+    // under the cap; the copy bucket (>=1000) is the only hot one
+    val res = Ann.lshTopK(corpus, queries, k = 5, nPlanes = 5, nTables = 4,
+      maxBucket = 100, hotBucketSink = df => sunk = df).collect()
+    // hot buckets (the ones holding the copies) were dropped...
+    assert(sunk != null && sunk.count() > 0)
+    // ...so no copy id can appear in any result...
+    assert(res.forall(_.getLong(2) < 200000L))
+    // ...and every query still gets its k from the surviving buckets
+    assert(res.map(_.getLong(0)).distinct.length == 4)
+    assert(res.groupBy(_.getLong(0)).values.forall(_.length == 5))
+  }
+
   test("ANN: IVF recall against brute-force ground truth") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
@@ -218,5 +245,96 @@ class OpsSpec extends AnyFunSuite {
     val expected = sp.read.parquet(dir)
       .filter(col("tool").isin("pdftohtml", "shakespeare")).count()
     assert(out == expected, s"$out != $expected")
+  }
+
+  /** write `df` as a single parquet file into `streamDir` with a controlled
+    * mtime, so FileStreamSource's mtime ordering (oldest first) is pinned.
+    */
+  private def writeStreamFile(df: org.apache.spark.sql.DataFrame,
+                              streamDir: String, name: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wsf").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(streamDir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(dst.setLastModified(mtime))
+  }
+
+  /** batch-side expectation for the watermarked windowed counts: the
+    * windows whose END the final watermark (max ts - 2h) has passed —
+    * the same cutoff rule the DuckDB oracle applies for q23b.
+    */
+  private def expectedClosedWindows(sp: SparkSession, dir: String): Set[(java.sql.Timestamp, String, Long, Long)] = {
+    val batch = StreamingExtract.extractedStream(sp.read.parquet(dir))
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val wm = new java.sql.Timestamp(maxTs - 2L * 3600 * 1000)
+    batch.groupBy(window(col("ts"), "1 hour"), col("format"))
+      .agg(count(lit(1)).as("turns"), sum(col("n_lines")).as("lines"))
+      .filter(col("window.end") <= lit(wm))
+      .select(col("window.start"), col("format"), col("turns"), col("lines"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("streaming: watermark backfill over unordered history is exact with single-batch ingest") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm1").toString
+    val t = Transcripts.synthesize(sp, 30, seed = 11L).toDF()
+    // two files in REVERSE event-time order (newest events in the oldest
+    // file) — the adversarial arrival order that broke the bounded-trigger
+    // path at the driver in round 2
+    val mid = t.agg(expr("percentile(cast(ts as long), 0.5)")).head().getDouble(0).toLong
+    val fresh = t.filter(col("ts").cast("long") >= mid)
+    val early = t.filter(col("ts").cast("long") < mid)
+    val now = System.currentTimeMillis()
+    writeStreamFile(fresh, dir, "f0.parquet", now - 200000)
+    writeStreamFile(early, dir, "f1.parquet", now - 100000)
+    val q = StreamingExtract.startMemory(
+      StreamingExtract.windowedCounts(
+        StreamingExtract.extractedStream(StreamingExtract.readTranscripts(sp, dir))),
+      "wm_single")
+    q.awaitTermination(60000)
+    val got = sp.sql("SELECT window.start, format, turns, lines FROM wm_single")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = expectedClosedWindows(sp, dir)
+    assert(got == want, s"single-batch ingest must emit exactly the final-cutoff set: got ${got.size}, want ${want.size}")
+  }
+
+  test("streaming: bounded triggers over unordered history DROP late rows (pinned failure mode)") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm2").toString
+    val t = Transcripts.synthesize(sp, 30, seed = 11L).toDF()
+    val mid = t.agg(expr("percentile(cast(ts as long), 0.5)")).head().getDouble(0).toLong
+    val fresh = t.filter(col("ts").cast("long") >= mid)
+    val early = t.filter(col("ts").cast("long") < mid)
+    val now = System.currentTimeMillis()
+    // three files: the late-event filter uses the PREVIOUS batch's
+    // committed watermark (lateEvents vs eviction thresholds — watermark
+    // propagation), so early data must arrive >= 2 batches after the
+    // watermark-advancing batch to be dropped
+    val Array(fa, fb) = fresh.randomSplit(Array(0.5, 0.5), seed = 1L)
+    writeStreamFile(fa, dir, "f0.parquet", now - 300000) // batch 0: fresh events
+    writeStreamFile(fb, dir, "f1.parquet", now - 200000) // batch 1: commits wm = max-2h
+    writeStreamFile(early, dir, "f2.parquet", now - 100000) // batch 2: behind the wm
+    val q = StreamingExtract.startMemory(
+      StreamingExtract.windowedCounts(
+        StreamingExtract.extractedStream(
+          StreamingExtract.readTranscripts(sp, dir, maxFilesPerTrigger = Some(1)))),
+      "wm_bounded")
+    q.awaitTermination(60000)
+    val gotTurns = sp.sql("SELECT coalesce(sum(turns), 0) FROM wm_bounded").head().getLong(0)
+    val wantTurns = expectedClosedWindows(sp, dir).toSeq.map(_._3).sum
+    val droppedByWm = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    // the early file's windows close before the committed watermark, so its
+    // rows are dropped as late data — bounded ingest MUST lose rows here.
+    // This is why backfill over unordered history uses single-batch ingest.
+    assert(droppedByWm > 0, "expected the state operator to report watermark drops")
+    assert(gotTurns < wantTurns,
+      s"expected late-data drops under bounded triggers: got $gotTurns, no-drop cutoff $wantTurns")
   }
 }
