@@ -31,9 +31,11 @@ object Bench {
 
   /** extraction benchmark. Input and goldens are materialized to parquet
     * first (untimed) so the measured job is the real workload. Protocol:
-    * one warm-up, then THREE timed runs, median reported (shared-host
-    * noise is ±25-30%; a single sample regularly lands outside the
-    * envelope — BENCH/BASELINE.md). Also times the extraction-only job
+    * TWO warm-ups (in a pristine JVM one warm-up leaves ~1.5s of kernel
+    * JIT arriving mid-measurement: run_secs 3.7/3.7/2.1 at sf0.1), then
+    * THREE timed runs, median reported (shared-host noise is ±25-30%;
+    * a single sample regularly lands outside the envelope —
+    * BENCH/BASELINE.md). Also times the extraction-only job
     * (scan -> extract_turn -> count, no verification) so the two
     * throughput figures BASELINE.md quotes stay separately reproducible.
     */
@@ -59,7 +61,7 @@ object Bench {
       val a = f()
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    job() // warm-up
+    job(); job() // warm-ups (see protocol note above)
     val runs = (0 until 3).map(_ => timed(job))
     val (turns, mismatches) = runs.head._1
     val secs = runs.map(_._2)
@@ -69,7 +71,7 @@ object Bench {
     def exOnlyJob(): Long =
       Pipeline.lines(Pipeline.extracted(spark.read.parquet(s"$dir/transcripts")))
         .agg(count(lit(1))).head().getLong(0)
-    exOnlyJob()
+    exOnlyJob(); exOnlyJob()
     val exOnlySecs = (0 until 3).map(_ => timed(exOnlyJob)._2)
     ExtractionBench(turns, median, secs,
       exOnlySecs.sorted.apply(exOnlySecs.length / 2), mismatches)

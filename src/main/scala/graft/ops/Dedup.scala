@@ -26,18 +26,21 @@ object Dedup {
     * degenerates to empty output. Scale nPlanes/band count with the
     * corpus (buckets >= corpus/cap), and watch the sink.
     *
-    * Cost: the banded frame is pre-shuffled ON THE BUCKET KEY once, and
-    * every consumer — the hot-bucket count, the anti-join, and the
-    * caller's downstream self-join on the same key — reads that ONE
-    * exchange via ReusedExchange (verified in BENCH/PLANS.md), so the
-    * expensive upstream (signature computation) is evaluated once, not
-    * once per consumer. No broadcast is forced: AQE may still turn the
-    * (tiny) hot side into a runtime broadcast AFTER its shuffle
-    * materializes — without ever collecting an unbounded set to the
-    * driver.
+    * Cost: ONE shuffle of the banded frame on the bucket key, full stop.
+    * The per-key count is a window aggregate over that shuffle (count
+    * over the whole partition frame — no separate count aggregation, no
+    * anti-join), and `kept` is a filter on the counted frame, so the
+    * caller's downstream self-join legs are two instances of the SAME
+    * subplan over the same exchange: AQE/ReuseExchange evaluates the
+    * expensive upstream (signature computation) exactly once (verified
+    * in BENCH/PLANS.md). Earlier shapes (count-agg + anti-join) looked
+    * equivalent but the optimizer rewrote the two consumers differently,
+    * defeating exchange reuse and recomputing signatures 2-4x. Hot
+    * groups buffer in the window operator's spillable sorter — bounded
+    * by the skew already present in the data, never an OOM.
     *
-    * Dropping is never silent: the hot side carries an observe() metric
-    * (`graft_hot_buckets_*`) that rides the caller's action — zero extra
+    * Dropping is never silent: an observe() metric
+    * (`graft_hot_buckets_*`) rides the caller's action — zero extra
     * jobs — and a session-level listener WARN-logs any non-zero drop.
     * Callers wanting the dropped keys programmatically pass a
     * `hotBucketSink` (that read is a separate action and re-executes the
@@ -45,11 +48,18 @@ object Dedup {
     */
   def capHotBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int,
       opTag: String = "lsh"): (DataFrame, DataFrame) = {
-    val pre = bucketed.repartition(keyCols.map(col): _*)
-    val hot = pre.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > cap)
-    val kept = pre.join(observeHot(hot, opTag).drop("bucket_n"), keyCols, "left_anti")
+    ensureHotListener(bucketed.sparkSession)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val name = s"graft_hot_buckets_${opTag}_${hotOpCounter.incrementAndGet()}"
+    val counted = bucketed
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .observe(name,
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("dropped_rows"),
+        max(col("bucket_n")).as("max_bucket_n"))
+    val kept = counted.filter(col("bucket_n") <= cap).drop("bucket_n")
+    val hot = counted.filter(col("bucket_n") > cap)
+      .select(keyCols.map(col) :+ col("bucket_n"): _*)
+      .dropDuplicates(keyCols)
     (kept, hot)
   }
 
@@ -77,11 +87,17 @@ object Dedup {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_hot_buckets_") && !row.isNullAt(0) && row.getLong(0) > 0)
+            if (name.startsWith("graft_hot_buckets_") && !row.isNullAt(0) && row.getLong(0) > 0) {
+              val fields = Option(row.schema) match {
+                case Some(sc) => sc.fieldNames.zipWithIndex
+                  .map { case (f, i) => s"$f=${if (row.isNullAt(i)) "null" else row.get(i)}" }
+                  .mkString(", ")
+                case None => row.toString
+              }
               org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
-                s"$name: ${row.getLong(0)} bucket key(s) over cap dropped " +
-                  s"(${row.getLong(1)} rows, largest ${row.getLong(2)}); near-dup " +
-                  "coverage is partial — raise bands/planes or the cap, or attach hotBucketSink")
+                s"$name: hot-bucket cap dropped data ($fields); near-dup coverage " +
+                  "is partial — raise bands/planes or the cap, or attach hotBucketSink")
+            }
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()

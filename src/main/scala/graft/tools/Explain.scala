@@ -19,12 +19,27 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    def show(name: String, df: org.apache.spark.sql.DataFrame,
+        execute: Boolean = false): Unit = {
       println(s"\n==================== $name ====================")
       df.explain("formatted")
       val plan = df.queryExecution.executedPlan.toString
       val n = "extract_turn".r.findAllIn(plan).length
       if (n > 0) println(s"[extract_turn occurrences in physical plan: $n]")
+      if (execute) {
+        // run the query so AQE finalizes, then audit the ADAPTIVE plan:
+        // exchange/stage reuse only materializes at runtime. collect(),
+        // not count() — count() builds a separate QueryExecution and the
+        // df's own plan would stay un-executed
+        df.collect()
+        val fin = df.queryExecution.executedPlan.toString
+        val reused = "ReusedExchange|ReusedQueryStage|ReusedSubquery".r.findAllIn(fin).length
+        val exchanges = "(?m)^\\s*[:+\\-* ]*Exchange ".r.findAllIn(fin).length
+        println(s"[final adaptive plan: $reused reused exchange/stage nodes, $exchanges live Exchange nodes]")
+        println(fin.linesIterator.filter(l =>
+          l.contains("Reused") || l.contains("Exchange") || l.contains("Window") ||
+            l.contains("Generate")).mkString("\n"))
+      }
     }
 
     val transcripts = Transcripts.synthesize(spark, 5, seed = 42L).toDF()
@@ -37,7 +52,8 @@ object Explain {
     show("q02_filter_pushdown", SparkEntry.queries("q02_filter_pushdown")(spark, sfDir))
     show("q04_join_4way", SparkEntry.queries("q04_join_4way")(spark, sfDir))
     show("q18_extract_verify", SparkEntry.queries("q18_extract_verify")(spark, sfDir))
-    show("q13_minhash_pairs", SparkEntry.queries("q13_minhash_pairs")(spark, sfDir))
+    show("q13_minhash_pairs", SparkEntry.queries("q13_minhash_pairs")(spark, sfDir),
+      execute = true)
     spark.stop()
   }
 }
