@@ -15,12 +15,15 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Render {
 
-  private def matchedAsSlug(content: String): Boolean =
+  /** the two Fountain auto-detection predicates (WriteOutput.php:75-93);
+    * shared with [[FountainReader]] so render and re-parse agree on them
+    */
+  def matchedAsSlug(content: String): Boolean =
     Seq("INT", "EXT", "EST", "INT/EXT", "INT./EXT", "I/E").exists(p =>
       Php.isPrefix(content, p + " ", caseSensitive = false) ||
       Php.isPrefix(content, p + ".", caseSensitive = false))
 
-  private def matchedAsTransition(content: String): Boolean =
+  def matchedAsTransition(content: String): Boolean =
     content.endsWith(" TO:")
 
   /** write_fountain_file body (WriteOutput.php:17-148), for_fdx=false.
