@@ -16,9 +16,17 @@ TABLE=$(mktemp -d /tmp/graft_scaling_XXXX)
 
 sbt -batch package >/dev/null
 
+# maxPartitionBytes: the extraction kernel costs ~0.4 ms/turn, so scan
+# splits must be CPU-balanced, not byte-balanced. The 160k-conv table is
+# ~85 MB in 512 files; at the 128 MB default the job collapses to ~17
+# tasks = 2.1 waves on the 4x2 cluster, and the partial last wave idles
+# up to half the cores (measured: efficiency 0.63-0.85 run-to-run).
+# 2 MB splits -> ~110 tasks -> ~14 waves, tail loss amortized.
 COMMON=(--conf spark.ui.enabled=false
         --conf spark.sql.session.timeZone=UTC
         --conf spark.sql.adaptive.enabled=true
+        --conf spark.sql.files.maxPartitionBytes=2m
+        --conf spark.sql.files.openCostInBytes=262144
         --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC
         --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC
         --driver-memory 8g)

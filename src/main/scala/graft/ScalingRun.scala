@@ -45,10 +45,12 @@ object ScalingRun {
     val warm = run()
     val a = run()
     val b = run()
-    val best = if (a._3 <= b._3) a else b
-    require(warm._1 == best._1 && a._1 == b._1, "inconsistent row counts")
+    val c = run()
+    val best = Seq(a, b, c).minBy(_._3)
+    require(warm._1 == best._1 && a._1 == b._1 && b._1 == c._1, "inconsistent row counts")
     val thr = best._1 / best._3
-    println(f"""{"label":"$label","turns":${best._1},"lines":${best._2},"seconds":${best._3}%.3f,"turns_per_sec":$thr%.1f}""")
+    val all = Seq(warm, a, b, c).map(r => f"${r._3}%.2f").mkString("[", ",", "]")
+    println(f"""{"label":"$label","turns":${best._1},"lines":${best._2},"seconds":${best._3}%.3f,"turns_per_sec":$thr%.1f,"all_run_secs":$all}""")
     spark.stop()
   }
 }

@@ -147,5 +147,14 @@ class SparkPipelineSpec extends AnyFunSuite {
       .filter(col("bucket") =!= 0).count()
     assert(counters.turns == expectTurns, s"${counters.turns} != $expectTurns")
     assert(counters.bytes > 0)
+    // concurrent bucket jobs: identical manifests + counters as serial
+    val out3 = java.nio.file.Files.createTempDirectory("graft_out3").toString
+    val c3 = TranscriptTable.extractWithCheckpoints(sp, root, out3, nBuckets,
+      maxConcurrent = 4)
+    assert(TranscriptTable.committedBuckets(out3).size == nBuckets)
+    assert(c3.turns == expectTurns + sp.read.parquet(s"$root/data")
+      .filter(col("tool").isin("pdftohtml", "shakespeare"))
+      .filter(col("bucket") === 0).count())
+    assert(c3.bytes > 0)
   }
 }
