@@ -418,6 +418,38 @@ object SparkEntry {
           col("lines").cast("bigint").as("lines"))
         .orderBy(col("win_start"), col("format"))
     }),
+    "q30_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup (dropDuplicatesWithinWatermark): plant exact
+      // copies of 20 document turns under fresh conv ids, stream the lot,
+      // and read the deduped parquet sink back grouped by format. The
+      // surviving COPY of a duplicate is arrival-race-dependent, so the
+      // comparison aggregates content-determined columns only; the oracle
+      // recomputes COUNT(DISTINCT text) per format from the materialized
+      // input — the two agree iff the stream kept exactly one row per
+      // distinct content and dropped nothing else.
+      val n = math.min(nConvsFor(dir), 100L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q30").toString
+      val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      val dupes = transcripts.filter(col("tool").isin("pdftohtml", "shakespeare"))
+        .orderBy(col("conv_id"), col("turn_idx")).limit(20)
+        .withColumn("conv_id", concat(lit("dup_"), col("conv_id")))
+      val all = transcripts.union(dupes.select(transcripts.columns.map(col): _*))
+      all.write.mode("overwrite").parquet(s"$tmp/in")
+      materialize(
+        all.filter(col("tool").isin("pdftohtml", "shakespeare"))
+          .select(when(col("tool") === "pdftohtml", "pdfxml")
+            .otherwise("shakespeare").as("format"), col("text")),
+        "q30_expected")
+      val q = graft.streaming.StreamingExtract.startParquet(
+        graft.streaming.StreamingExtract.dedupedStream(
+          graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in")),
+        s"$tmp/out", s"$tmp/ck")
+      q.awaitTermination(120000)
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("format"))
+    }),
     "q23_stream_windows" -> ((s, dir) => {
       // incremental extraction over a file stream, AvailableNow-triggered,
       // writing to a parquet SINK (scale path — nothing driver-side); the
@@ -653,6 +685,10 @@ object SparkEntry {
         | CAST(SUM(g_lines) AS BIGINT) AS n_lines
         | FROM read_parquet('{MAT}/q29_expected/*.parquet')
         | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", ""),
+    "q30_stream_dedup" ->
+      """SELECT format, COUNT(DISTINCT text) AS n_unique
+        | FROM read_parquet('{MAT}/q30_expected/*.parquet')
+        | GROUP BY format ORDER BY format""".stripMargin.replace("\n", ""),
     "q23b_stream_watermark" ->
       // same window + watermark-cutoff rule, recomputed in SQL: append
       // mode emits a window once the final watermark (max ts - 2h) has

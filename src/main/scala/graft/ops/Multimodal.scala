@@ -127,7 +127,11 @@ object Multimodal {
     import spark.implicits._
     val path = corpusCache.computeIfAbsent(s"$n:$seed", _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_media").toString + "/corpus"
-      synthesize(spark, n, seed).write.mode("overwrite").parquet(dir)
+      // media payloads are high-entropy container bytes: snappy can't
+      // shrink them and costs decompress CPU on every read — store
+      // uncompressed, the same call a real media-blob table makes
+      synthesize(spark, n, seed).write.mode("overwrite")
+        .option("compression", "uncompressed").parquet(dir)
       dir
     })
     spark.read.parquet(path).as[MediaRow]

@@ -47,6 +47,28 @@ object StreamingExtract {
         size(col("ex.lines")).as("n_lines"),
         col("ex.bytes").as("bytes"))
 
+  /** Streaming exact dedup — the streaming analogue of Dedup.exact: the
+    * first arrival of each content hash survives, later copies are
+    * dropped. dropDuplicatesWithinWatermark keys STATE EVICTION to the
+    * event-time watermark, so dedup state is bounded by the horizon
+    * (here 2h of event time) instead of growing with the corpus — the
+    * only state-size contract that survives an unbounded stream. Output
+    * excludes arrival-dependent identity columns: which copy of a
+    * duplicate survives is race-dependent across tasks, so downstream
+    * consumers must aggregate on content-determined columns only (format,
+    * text, hash), which is what q30's read-back does.
+    */
+  def dedupedStream(transcripts: DataFrame): DataFrame =
+    transcripts
+      .filter(col("tool").isin("pdftohtml", "shakespeare"))
+      .select(
+        when(col("tool") === "pdftohtml", "pdfxml")
+          .otherwise("shakespeare").as("format"),
+        col("text"), col("ts"))
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** watermarked event-time windowed aggregation of extraction volume */
   def windowedCounts(extracted: DataFrame): DataFrame =
     extracted

@@ -247,6 +247,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out == expected, s"$out != $expected")
   }
 
+  test("streaming: exact dedup within watermark drops planted duplicates") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val t = Transcripts.synthesize(sp, 8, seed = 3L).toDF()
+    val dupes = t.filter(col("tool").isin("pdftohtml", "shakespeare"))
+      .orderBy(col("conv_id"), col("turn_idx")).limit(10)
+      .withColumn("conv_id", concat(lit("dup_"), col("conv_id")))
+    t.union(dupes.select(t.columns.map(col): _*))
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingExtract.startMemory(
+      StreamingExtract.dedupedStream(StreamingExtract.readTranscripts(sp, dir)),
+      "sdedup_out")
+    q.awaitTermination(60000)
+    val got = sp.sql("SELECT count(*) FROM sdedup_out").head().getLong(0)
+    val want = sp.read.parquet(dir)
+      .filter(col("tool").isin("pdftohtml", "shakespeare"))
+      .select(col("text")).distinct().count()
+    assert(got == want, s"deduped stream kept $got rows, want $want distinct texts")
+    // and the planted copies were actually duplicates (op had work to do)
+    val inputRows = sp.read.parquet(dir)
+      .filter(col("tool").isin("pdftohtml", "shakespeare")).count()
+    assert(inputRows > want, "fixture must contain duplicate texts")
+  }
+
   /** write `df` as a single parquet file into `streamDir` with a controlled
     * mtime, so FileStreamSource's mtime ordering (oldest first) is pinned.
     */
