@@ -365,9 +365,9 @@ object SparkEntry {
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
       graft.spark.TranscriptTable.write(transcripts, s"$tmp/table", nBuckets, snapshotId = 1L)
       val c1 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets)
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 4)
       val c2 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets) // all buckets committed
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 4) // all committed
       require(c1 == c2, s"checkpoint resume must be a no-op: $c1 vs $c2")
       val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))

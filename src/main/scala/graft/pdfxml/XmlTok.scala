@@ -15,9 +15,13 @@ import scala.collection.mutable.ArrayBuffer
   * The grammar is tiny (pdf2xml / page / fontspec / text / b / i / a), so a
   * bespoke char-stream state machine beats a general XML library: zero
   * dependencies and no DOM allocation beyond what the layout pass needs.
-  * Hot-path notes: text is scanned in bulk via indexOf('<'), and attributes
-  * live in two small parallel arrays (a 5-entry linear scan beats a Map for
-  * both build and lookup, and allocates nothing per probe).
+  * Hot-path notes (this is ~69% of the pdfxml kernel, KernelProfile):
+  * text is scanned in bulk via indexOf('<'); attributes live in two small
+  * parallel arrays built from a reused scratch pad (a 5-entry linear scan
+  * beats a Map for both build and lookup, and allocates nothing per
+  * probe); per-element text pieces go through POOLED parallel-array
+  * buffers (no tuples, no buffer churn — elements nest shallowly so the
+  * pool stays tiny); leaf elements allocate no children buffer at all.
   */
 object XmlTok {
 
@@ -29,7 +33,15 @@ object XmlTok {
     var value: String = ""
     /** b/i child spans, inclusive code-point ranges (sxiToArray:76-94) */
     var textAttributes: Map[String, Vector[Span]] = Map.empty
-    val children: ArrayBuffer[XNode] = new ArrayBuffer[XNode](2)
+    /** lazily allocated: most elements (every <text> leaf) have none */
+    private[XmlTok] var childrenBuf: ArrayBuffer[XNode] = null
+
+    private[XmlTok] def addChild(n: XNode): Unit = {
+      if (childrenBuf == null) childrenBuf = new ArrayBuffer[XNode](4)
+      childrenBuf += n
+    }
+    def children: collection.Seq[XNode] =
+      if (childrenBuf == null) Nil else childrenBuf
 
     def attr(key: String): String = {
       var i = 0
@@ -48,11 +60,37 @@ object XmlTok {
   }
   private object XNode { val emptyArr = new Array[String](0) }
 
+  /** pending (childTagLowerOrEmpty, text) pieces for one open element,
+    * as parallel arrays; instances are pooled across elements
+    */
+  private final class PieceBuf {
+    var names = new Array[String](8)
+    var texts = new Array[String](8)
+    var len = 0
+    def add(name: String, text: String): Unit = {
+      if (len == names.length) {
+        names = java.util.Arrays.copyOf(names, len * 2)
+        texts = java.util.Arrays.copyOf(texts, len * 2)
+      }
+      names(len) = name; texts(len) = text; len += 1
+    }
+    def clear(): Unit = len = 0
+  }
+
   def parse(xml: String): Vector[XNode] = {
     val root = new XNode("#ROOT")
     var stack: List[XNode] = root :: Nil
-    // per-open-element: pending (childTagLowerOrEmpty, text) pieces
-    var pieces: List[ArrayBuffer[(String, String)]] = new ArrayBuffer[(String, String)] :: Nil
+    var pieces: List[PieceBuf] = new PieceBuf :: Nil
+    var pool: List[PieceBuf] = Nil
+    def borrowBuf(): PieceBuf = pool match {
+      case b :: rest => pool = rest; b.clear(); b
+      case Nil => new PieceBuf
+    }
+
+    // reused attribute scratch pad (attributes are fully consumed before
+    // the next element opens, so one pad per parse() call suffices)
+    var padKeys = new Array[String](8)
+    var padVals = new Array[String](8)
 
     val n = xml.length
     var i = 0
@@ -63,13 +101,16 @@ object XmlTok {
       stack = stack.tail
       pieces = pieces.tail
       // assemble value + child spans (code-point offsets; inclusive end)
-      if (ps.length == 1 && ps(0)._1.isEmpty) {
-        node.value = ps(0)._2
-      } else {
+      if (ps.len == 1 && ps.names(0).isEmpty) {
+        node.value = ps.texts(0)
+      } else if (ps.len > 0) {
         val sb = new java.lang.StringBuilder
         var handled = 0
         var ta = node.textAttributes
-        ps.foreach { case (childName, t) =>
+        var k = 0
+        while (k < ps.len) {
+          val childName = ps.names(k)
+          val t = ps.texts(k)
           if (childName.isEmpty) { sb.append(t); handled += Php.mbLen(t) }
           else {
             val len = Php.mbLen(t)
@@ -80,23 +121,34 @@ object XmlTok {
             ta = ta.updated(childName, ta.getOrElse(childName, Vector.empty) :+ span)
             handled += len
           }
+          k += 1
         }
         node.value = sb.toString
         node.textAttributes = ta
       }
+      pool = ps :: pool
       // surface this element's text into the parent's piece list under the
       // lower-case tag so <text>a<b>x</b>b</text> sees child "b"
-      pieces.head += ((lowerTag(node.tag), node.value))
-      stack.head.children += node
+      pieces.head.add(lowerTag(node.tag), node.value)
+      stack.head.addChild(node)
+    }
+
+    /** substring(from, to) entity-decoded, scanning for '&' in place so
+      * the common no-entity case copies once and scans once
+      */
+    def textPiece(from: Int, to: Int): String = {
+      var a = xml.indexOf('&', from)
+      if (a < 0 || a >= to) xml.substring(from, to)
+      else graft.tokenize.Html.decodeEntities(xml.substring(from, to))
     }
 
     while (i < n) {
       val lt = xml.indexOf('<', i)
       if (lt < 0) {
-        if (i < n) pieces.head += (("", decode(xml.substring(i, n))))
+        if (i < n) pieces.head.add("", textPiece(i, n))
         i = n
       } else {
-        if (lt > i) pieces.head += (("", decode(xml.substring(i, lt))))
+        if (lt > i) pieces.head.add("", textPiece(i, lt))
         i = lt
         if (xml.startsWith("<!--", i)) {
           val e = xml.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
@@ -111,8 +163,7 @@ object XmlTok {
           val ns = j
           while (j < n && !isWs(xml.charAt(j)) && xml.charAt(j) != '>' && xml.charAt(j) != '/') j += 1
           val name = internTag(xml, ns, j)
-          var keys: ArrayBuffer[String] = null
-          var vals: ArrayBuffer[String] = null
+          var nAttrs = 0
           var selfClose = false
           var done = false
           while (!done && j < n) {
@@ -145,21 +196,28 @@ object XmlTok {
                   }
                 }
                 if (aname.nonEmpty) {
-                  if (keys == null) { keys = new ArrayBuffer[String](6); vals = new ArrayBuffer[String](6) }
-                  keys += aname
-                  vals += decode(avalue)
+                  if (nAttrs == padKeys.length) {
+                    padKeys = java.util.Arrays.copyOf(padKeys, nAttrs * 2)
+                    padVals = java.util.Arrays.copyOf(padVals, nAttrs * 2)
+                  }
+                  padKeys(nAttrs) = aname
+                  padVals(nAttrs) = decode(avalue)
+                  nAttrs += 1
                 }
             }
           }
           i = j
           val node = new XNode(name)
-          if (keys != null) { node.attrKeys = keys.toArray; node.attrVals = vals.toArray }
+          if (nAttrs > 0) {
+            node.attrKeys = java.util.Arrays.copyOf(padKeys, nAttrs)
+            node.attrVals = java.util.Arrays.copyOf(padVals, nAttrs)
+          }
           if (selfClose) {
-            pieces.head += ((lowerTag(name), ""))
-            stack.head.children += node
+            pieces.head.add(lowerTag(name), "")
+            stack.head.addChild(node)
           } else {
             stack = node :: stack
-            pieces = new ArrayBuffer[(String, String)] :: pieces
+            pieces = borrowBuf() :: pieces
           }
         } else {
           i = n
@@ -167,7 +225,7 @@ object XmlTok {
       }
     }
     while (stack.size > 1) closeTop()
-    root.children.toVector
+    if (root.childrenBuf == null) Vector.empty else root.childrenBuf.toVector
   }
 
   @inline private def isWs(c: Char): Boolean =
