@@ -113,7 +113,7 @@ object Html {
           var j = i + 2
           val ns = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          val name = html.substring(ns, j).toLowerCase
+          val name = internName(html, ns, j)
           val e = html.indexOf('>', j)
           i = if (e < 0) n else e + 1
           if (name.nonEmpty) popTo(name)
@@ -122,7 +122,7 @@ object Html {
           var j = i + 1
           val ns = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          val name = html.substring(ns, j).toLowerCase
+          val name = internName(html, ns, j)
           // attributes
           var attrs: List[(String, String)] = Nil
           var selfClose = false
@@ -139,7 +139,7 @@ object Html {
                 val as = j
                 while (j < n && !isWs(html.charAt(j)) && html.charAt(j) != '=' &&
                        html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-                val aname = html.substring(as, j).toLowerCase
+                val aname = internName(html, as, j)
                 var avalue = ""
                 while (j < n && isWs(html.charAt(j))) j += 1
                 if (j < n && html.charAt(j) == '=') {
@@ -181,12 +181,42 @@ object Html {
         } else {
           text.append(c); i += 1
         }
-      } else {
+      } else if (c == '<') {
+        // '<' at end of input: literal
         text.append(c); i += 1
+      } else {
+        // bulk text run to the next tag open (char-at-a-time appends were
+        // the Shakespeare-path hot spot — KernelProfile)
+        val lt = html.indexOf('<', i)
+        val end = if (lt < 0) n else lt
+        text.append(html, i, end)
+        i = end
       }
     }
     flushText()
     root
+  }
+
+  /** lower-cased tag/attribute name, interned for the names the
+    * Shakespeare corpus actually uses so the hot path allocates nothing
+    */
+  private def internName(s: String, from: Int, to: Int): String = {
+    val len = to - from
+    @inline def is(lit: String): Boolean =
+      len == lit.length && s.regionMatches(true, from, lit, 0, len)
+    if (is("a")) "a"
+    else if (is("p")) "p"
+    else if (is("b")) "b"
+    else if (is("i")) "i"
+    else if (is("name")) "name"
+    else if (is("href")) "href"
+    else if (is("blockquote")) "blockquote"
+    else if (is("h3")) "h3"
+    else if (is("title")) "title"
+    else if (is("table")) "table"
+    else if (is("tr")) "tr"
+    else if (is("td")) "td"
+    else s.substring(from, to).toLowerCase
   }
 
   @inline private def isWs(c: Char): Boolean =
