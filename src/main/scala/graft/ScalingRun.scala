@@ -42,14 +42,17 @@ object ScalingRun {
           coalesce(sum(size(col("ex.lines"))), lit(0L)).as("lines")).head()
       ((row.getLong(0), row.getLong(1), (System.nanoTime() - t0) / 1e9))
     }
+    // two warm-ups: fresh executor JVMs need 2 passes of kernel JIT; then
+    // best-of-2 timed. Cross-invocation host wander is handled one level
+    // up (run_scaling.sh alternates N/4N pairs and takes medians).
     val warm = run()
+    val warm2 = run()
     val a = run()
     val b = run()
-    val c = run()
-    val best = Seq(a, b, c).minBy(_._3)
-    require(warm._1 == best._1 && a._1 == b._1 && b._1 == c._1, "inconsistent row counts")
+    val best = Seq(a, b).minBy(_._3)
+    require(warm._1 == best._1 && a._1 == b._1, "inconsistent row counts")
     val thr = best._1 / best._3
-    val all = Seq(warm, a, b, c).map(r => f"${r._3}%.2f").mkString("[", ",", "]")
+    val all = Seq(warm, warm2, a, b).map(r => f"${r._3}%.2f").mkString("[", ",", "]")
     println(f"""{"label":"$label","turns":${best._1},"lines":${best._2},"seconds":${best._3}%.3f,"turns_per_sec":$thr%.1f,"all_run_secs":$all}""")
     spark.stop()
   }
