@@ -433,7 +433,7 @@ object SparkEntry {
       val dupes = transcripts.filter(col("tool").isin("pdftohtml", "shakespeare"))
         .orderBy(col("conv_id"), col("turn_idx")).limit(20)
         .withColumn("conv_id", concat(lit("dup_"), col("conv_id")))
-      val all = transcripts.union(dupes.select(transcripts.columns.map(col): _*))
+      val all = transcripts.union(dupes.select(transcripts.columns.toIndexedSeq.map(col): _*))
       all.write.mode("overwrite").parquet(s"$tmp/in")
       materialize(
         all.filter(col("tool").isin("pdftohtml", "shakespeare"))

@@ -274,7 +274,7 @@ object Ann {
     def withBuckets(df: DataFrame, vc: String): DataFrame =
       df.withColumn("tb", explode(array((0 until nTables).map { t =>
         struct(lit(t).as("table_id"), bucketSig(seed, nPlanes, t)(col(vc)).as("bucket"))
-      }: _*))).select(df.columns.map(col) :+ col("tb.table_id") :+ col("tb.bucket"): _*)
+      }: _*))).select(df.columns.toIndexedSeq.map(col) :+ col("tb.table_id") :+ col("tb.bucket"): _*)
     val cb = withBuckets(c, "corpus_vec")
     val qb = withBuckets(q, "query_vec")
     val hot = cb.groupBy(col("table_id"), col("bucket"))
