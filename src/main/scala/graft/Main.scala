@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * Iceberg-style transcripts table with partition-granular checkpoints.
   *
   *   spark-submit --class graft.Main <jar> synth <tableRoot> <nConvs>
-  *   spark-submit --class graft.Main <jar> extract <tableRoot> <outRoot> [nBuckets]
+  *   spark-submit --class graft.Main <jar> extract <tableRoot> <outRoot> [nBuckets] [maxConcurrent]
   *   spark-submit --class graft.Main <jar> report <outRoot>
   *
   * `extract` is resumable: rerunning after a failure skips buckets whose
-  * checkpoint manifests are committed (TranscriptTable).
+  * checkpoint manifests are committed (TranscriptTable). `maxConcurrent`
+  * (default 8) overlaps bucket jobs from a bounded driver pool — the
+  * fixed per-bucket job overhead (~0.2-0.3 s) otherwise serializes at
+  * small bucket sizes (BENCH/BASELINE.md, checkpoint section).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -35,7 +38,9 @@ object Main {
         val tableRoot = args(1)
         val outRoot = args(2)
         val nBuckets = if (args.length > 3) args(3).toInt else 128
-        val c = TranscriptTable.extractWithCheckpoints(spark, tableRoot, outRoot, nBuckets)
+        val maxConcurrent = if (args.length > 4) args(4).toInt else 8
+        val c = TranscriptTable.extractWithCheckpoints(
+          spark, tableRoot, outRoot, nBuckets, maxConcurrent)
         println(s"""{"extract":"done","turns":${c.turns},"bytes":${c.bytes},"mismatches":${c.mismatches}}""")
       case "report" =>
         val outRoot = args(1)
