@@ -134,15 +134,20 @@ object Ann {
         org.apache.spark.sql.graftbridge.Bridge.expression(v), seed, nPlanes, table))
 
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the first
-    * `nCentroids` corpus vectors by id, refined by one Lloyd step over the
-    * corpus — partitions vectors into cells; queries score only the
-    * `nProbe` nearest cells. Centroids broadcast (tiny); the corpus
-    * shuffles once on cell id. The standard trade: higher nProbe = higher
-    * recall, candidates ~ corpus * nProbe / nCentroids.
+    * `nCentroids` corpus vectors by id, refined by `lloydIters` Lloyd
+    * steps over the corpus — partitions vectors into cells; queries score
+    * only the `nProbe` nearest cells. Centroids broadcast (tiny); the
+    * corpus shuffles once on cell id. The standard trade: higher nProbe =
+    * higher recall, candidates ~ corpus * nProbe / nCentroids. Each Lloyd
+    * iteration costs one map-side-combinable aggregate pass over the
+    * corpus (shuffle rows = cells x partitions, driver sees <= nCentroids
+    * rows) — linear, no new shuffle shape, so training depth is a pure
+    * quality/cost knob.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 1): DataFrame = {
     val sp = corpus.sparkSession
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
     // seed centroids: first nCentroids vectors by id (deterministic)
@@ -162,28 +167,32 @@ object Ann {
       }
       best
     }
-    val assigned0 = c.withColumn("cell", nearestUdf(seeds)(col("corpus_vec")))
     val dims = seeds.head.length
-    // Lloyd step without a corpus-x-dims explode: a typed Aggregator sums
+    // Lloyd steps without a corpus-x-dims explode: a typed Aggregator sums
     // WHOLE vectors per cell (map-side combinable, shuffle rows =
     // nCentroids x partitions, not corpus x dims), then only the
     // nCentroids mean vectors reach the driver for the broadcast probe
     // table. At a 10^9-vector corpus the old posexplode shape shuffled
     // 10^12 rows for the same 16 numbers-per-dim.
-    val refined: Array[Array[Float]] = {
+    def lloydStep(cents: Array[Array[Float]]): Array[Array[Float]] = {
       import sp.implicits._
+      val assigned = c.withColumn("cell", nearestUdf(cents)(col("corpus_vec")))
       val meanVec = new MeanVecAgg(dims)
-      val means = assigned0.select(col("cell"), col("corpus_vec"))
+      val means = assigned.select(col("cell"), col("corpus_vec"))
         .as[(Int, Seq[Float])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(meanVec.toColumn.name("mean"))
         .collect() // <= nCentroids rows, never corpus-derived cardinality
-      val out = seeds.map(_.clone())
+      val out = cents.map(_.clone())
       means.foreach { case (cell, mean) =>
         if (cell < out.length && mean.length == dims) out(cell) = mean
       }
       out
     }
+    var cents = seeds
+    var it = 0
+    while (it < math.max(0, lloydIters)) { cents = lloydStep(cents); it += 1 }
+    val refined = cents // stable val for the task closures below
     def probeUdf = udf { (v: Seq[Float]) =>
       refined.indices.map { i =>
         var d = 0.0; var j = 0

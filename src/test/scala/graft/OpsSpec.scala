@@ -156,6 +156,36 @@ class OpsSpec extends AnyFunSuite {
     assert(res.groupBy(_.getLong(0)).values.forall(_.length == 5))
   }
 
+  test("capHotBuckets: kept/hot partition the key space exactly at the cap") {
+    val sp = spark
+    import sp.implicits._
+    // group g has g+1 rows; cap=7 -> groups 7..19 are hot (size 8..20)
+    val rows = for { g <- 0 until 20; i <- 0 to g } yield (g % 5, g.toLong, i)
+    val df = rows.toDF("band_idx", "band_hash", "member")
+    val (kept, hot) = Dedup.capHotBuckets(df, Seq("band_idx", "band_hash"), cap = 7)
+    val keptGroups = kept.groupBy("band_idx", "band_hash").count()
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(keptGroups.keySet == (0 until 7).map(_.toLong).toSet)
+    keptGroups.foreach { case (g, n) => assert(n == g + 1) } // groups intact
+    assert(kept.columns.toSeq == df.columns.toSeq) // schema preserved
+    val hotRows = hot.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(hotRows.keySet == (7 until 20).map(_.toLong).toSet)
+    hotRows.foreach { case (g, n) => assert(n == g + 1) } // exact sizes surfaced
+  }
+
+  test("ANN: IVF multi-iteration Lloyd training keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val truth = Ann.bruteTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf3 = Ann.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 4,
+      lloydIters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf3.size == 40)
+    val recall = (truth & ivf3).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF(iters=3) recall too low: $recall")
+  }
+
   test("ANN: IVF recall against brute-force ground truth") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
