@@ -418,6 +418,38 @@ object SparkEntry {
           col("lines").cast("bigint").as("lines"))
         .orderBy(col("win_start"), col("format"))
     }),
+    "q31_stream_sessions" -> ((s, dir) => {
+      // event-time sessionization (flatMapGroupsWithState +
+      // EventTimeTimeout): a conversation's session row emits once the
+      // final watermark (max ts - 2h) strictly passes last_ts + 90min.
+      // The oracle recomputes per-conv aggregates + the same strict
+      // cutoff from golden-derived expectations; session line counts
+      // come from extraction, so a wrong extraction is a red row.
+      val n = math.min(nConvsFor(dir), 100L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q31").toString
+      val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      transcripts.write.mode("overwrite").parquet(s"$tmp/in")
+      val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
+      val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("g_lines"))
+      materialize(
+        transcripts.filter(col("tool").isin("pdftohtml", "shakespeare"))
+          .select(col("conv_id"), col("turn_idx"), col("ts"))
+          .join(perTurn, Seq("conv_id", "turn_idx"), "left")
+          .na.fill(0L, Seq("g_lines")),
+        "q31_expected")
+      val q = graft.streaming.StreamingExtract.startParquet(
+        graft.streaming.StreamingExtract.sessionizedStream(
+          graft.streaming.StreamingExtract.extractedStream(
+            graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in"))).toDF(),
+        s"$tmp/out", s"$tmp/ck")
+      q.awaitTermination(120000)
+      s.read.parquet(s"$tmp/out")
+        .select(col("conv_id"), col("turns").cast("bigint").as("turns"),
+          col("lines").cast("bigint").as("lines"),
+          col("first_ts"), col("last_ts"))
+        .orderBy(col("conv_id"))
+    }),
     "q30_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup (dropDuplicatesWithinWatermark): plant exact
       // copies of 20 document turns under fresh conv ids, stream the lot,
@@ -689,6 +721,18 @@ object SparkEntry {
       """SELECT format, COUNT(DISTINCT text) AS n_unique
         | FROM read_parquet('{MAT}/q30_expected/*.parquet')
         | GROUP BY format ORDER BY format""".stripMargin.replace("\n", ""),
+    "q31_stream_sessions" ->
+      // same session rule recomputed in SQL: a conversation emits iff the
+      // final watermark (max ts - 2h) STRICTLY passed last_ts + 90min
+      """WITH e AS (SELECT conv_id, ts, g_lines
+        |   FROM read_parquet('{MAT}/q31_expected/*.parquet')),
+        | m AS (SELECT max(ts) AS mx FROM e),
+        | c AS (SELECT conv_id, COUNT(*) AS turns,
+        |     CAST(SUM(g_lines) AS BIGINT) AS lines,
+        |     min(ts) AS first_ts, max(ts) AS last_ts FROM e GROUP BY conv_id)
+        | SELECT conv_id, turns, lines, first_ts, last_ts FROM c, m
+        | WHERE last_ts + INTERVAL 90 MINUTE < mx - INTERVAL 2 HOUR
+        | ORDER BY conv_id""".stripMargin.replace("\n", ""),
     "q23b_stream_watermark" ->
       // same window + watermark-cutoff rule, recomputed in SQL: append
       // mode emits a window once the final watermark (max ts - 2h) has

@@ -122,6 +122,51 @@ object StreamingExtract {
       }
   }
 
+  /** Event-time conversation sessionization via flatMapGroupsWithState +
+    * EventTimeTimeout (the append-mode custom-state surface): a
+    * conversation's session row (turns, lines, first/last event time) is
+    * emitted ONCE, when the watermark passes its last event + `gapMinutes`
+    * — i.e. the conversation has provably gone quiet. State is removed on
+    * emission, so state size tracks ACTIVE conversations only, never the
+    * corpus. Spark fires the timeout when `timeoutTimestamp < watermark`
+    * (strict), which is exactly the rule the q31 oracle recomputes in SQL.
+    */
+  final case class ConvSessionState(turns: Long, lines: Long,
+      firstTs: Long, lastTs: Long)
+  final case class ConvSession(conv_id: String, turns: Long, lines: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  def sessionizedStream(extracted: DataFrame, gapMinutes: Int = 90): org.apache.spark.sql.Dataset[ConvSession] = {
+    val sp = extracted.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    extracted
+      .withWatermark("ts", "2 hours")
+      .select(col("conv_id"), col("ts"), col("n_lines").cast("long"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (convId: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[ConvSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ConvSession(convId, s.turns, s.lines,
+              new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs)))
+          } else {
+            var s = state.getOption.getOrElse(
+              ConvSessionState(0L, 0L, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, ts, l) =>
+              val t = ts.getTime
+              s = ConvSessionState(s.turns + 1, s.lines + l,
+                math.min(s.firstTs, t), math.max(s.lastTs, t))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + gapMinutes * 60000L)
+            Iterator.empty
+          })
+  }
+
   /** memory-sink runner for the stateful stream (update output mode) */
   def startStateMemory(ds: org.apache.spark.sql.Dataset[ConvProgress], name: String): StreamingQuery =
     ds.writeStream

@@ -277,6 +277,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out == expected, s"$out != $expected")
   }
 
+  test("streaming: event-time sessionization emits exactly the quiet conversations") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Transcripts.synthesize(sp, 20, seed = 7L).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingExtract.startMemory(
+      StreamingExtract.sessionizedStream(
+        StreamingExtract.extractedStream(StreamingExtract.readTranscripts(sp, dir))).toDF(),
+      "sess_out")
+    q.awaitTermination(60000)
+    val got = sp.sql("SELECT conv_id, turns, lines FROM sess_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch expectation: per-conv aggregates of the extraction stream,
+    // emitted iff max(ts)-2h strictly passed last_ts + 90min
+    val batch = StreamingExtract.extractedStream(sp.read.parquet(dir))
+    val wm = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime - 2L * 3600 * 1000
+    val want = batch.groupBy("conv_id")
+      .agg(count(lit(1)).as("turns"), sum(col("n_lines")).cast("long").as("lines"),
+        max(col("ts")).as("last_ts"))
+      .filter(col("last_ts").cast("long") * 1000 + 90L * 60000 < lit(wm))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"sessions got=${got.size} want=${want.size}")
+    assert(got.nonEmpty, "fixture produced no quiet conversations")
+    // active conversations (tail of the corpus) must still be pending
+    val all = batch.select("conv_id").distinct().count()
+    assert(got.size < all, "every conversation emitted - timeout rule not exercised")
+  }
+
   test("streaming: exact dedup within watermark drops planted duplicates") {
     val sp = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
