@@ -100,6 +100,31 @@ private[ops] final class MeanVecAgg(dims: Int)
 
 object Ann {
 
+  /** SQL surface: cosine_sim(vecA, vecB) and
+    * hyperplane_bucket(vec, seed, nPlanes, table) with plan-time constant
+    * parameters — same native Expressions the DataFrame API uses.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
+      e match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      e => CosineSimExpr(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_bucket", {
+      case Seq(v, seed, planes, table) => HyperplaneBucketExpr(v,
+        litLong(seed, "seed"), litLong(planes, "nPlanes").toInt,
+        litLong(table, "table").toInt)
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_bucket takes (vec, seed, nPlanes, table), got ${other.length} args")
+    }, "scala_udf")
+  }
+
   /** deterministic pseudo-random hyperplanes: component j of plane p for
     * table t = remix(t*dims*planes + p*dims + j) scaled to [-1, 1)
     */

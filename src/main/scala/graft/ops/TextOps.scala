@@ -205,9 +205,23 @@ object TextOps {
   def minhash(c: Column, k: Int = 3, n: Int = 64): Column =
     Bridge.column(MinHashExpr(Bridge.expression(c), k, n))
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("lang_id", e => LangIdExpr(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", e => SimHashExpr(e.head), "scala_udf")
+    // minhash(text [, k, n]) — k/n are plan-time constants
+    reg.createOrReplaceTempFunction("minhash", {
+      case Seq(t) => MinHashExpr(t, 3, 64)
+      case Seq(t, k, n) => MinHashExpr(t, litInt(k, "minhash k"), litInt(n, "minhash n"))
+      case other => throw new IllegalArgumentException(
+        s"minhash takes (text) or (text, k, n), got ${other.length} args")
+    }, "scala_udf")
   }
 }

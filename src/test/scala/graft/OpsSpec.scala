@@ -156,6 +156,47 @@ class OpsSpec extends AnyFunSuite {
     assert(res.groupBy(_.getLong(0)).values.forall(_.length == 5))
   }
 
+  test("SQL surface: minhash / cosine_sim / hyperplane_bucket registered functions") {
+    val sp = spark
+    graft.ops.TextOps.register(sp)
+    Ann.register(sp)
+    docs.limit(30).createOrReplaceTempView("sql_docs")
+    // SQL minhash agrees exactly with the DataFrame-API Expression
+    val viaSql = sp.sql("SELECT doc_id, minhash(text, 3, 64) AS sig FROM sql_docs")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val viaCol = docs.limit(30)
+      .select(col("doc_id"), graft.ops.TextOps.minhash(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(viaSql == viaCol)
+    // cosine_sim: self-similarity 1, symmetric
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20).createOrReplaceTempView("sql_emb")
+    val cos = sp.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, a.embedding) AS self,
+        | cosine_sim(a.embedding, b.embedding) AS ab,
+        | cosine_sim(b.embedding, a.embedding) AS ba
+        | FROM sql_emb a JOIN sql_emb b ON b.vec_id = a.vec_id + 1""".stripMargin)
+      .collect()
+    assert(cos.nonEmpty)
+    cos.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // hyperplane_bucket: deterministic, within [0, 2^nPlanes)
+    val buckets = sp.sql(
+      "SELECT hyperplane_bucket(embedding, 42, 8, 0) AS b FROM sql_emb")
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    val again = sp.sql(
+      "SELECT hyperplane_bucket(embedding, 42, 8, 0) AS b FROM sql_emb")
+      .collect().map(_.getLong(0))
+    assert(buckets.toSeq == again.toSeq)
+    // non-literal parameters are rejected at plan time
+    intercept[Exception] {
+      sp.sql("SELECT hyperplane_bucket(embedding, vec_id, 8, 0) FROM sql_emb").collect()
+    }
+  }
+
   test("capHotBuckets: kept/hot partition the key space exactly at the cap") {
     val sp = spark
     import sp.implicits._
