@@ -147,12 +147,28 @@ object Layout {
     var pageSize: String = "Letter"
   }
 
-  private[pdfxml] def attrInt(n: XNode, key: String): Int = {
+  private def parseAttrInt(n: XNode, key: String): Int = {
     val v = n.attrOrElse(key, "0").trim
     try v.toInt catch {
       case _: NumberFormatException =>
         try v.toDouble.toInt catch { case _: NumberFormatException => 0 }
     }
+  }
+
+  private[pdfxml] def attrInt(n: XNode, key: String): Int = key match {
+    case "TOP" =>
+      if (n.topI == Int.MinValue) n.topI = parseAttrInt(n, key)
+      n.topI
+    case "LEFT" =>
+      if (n.leftI == Int.MinValue) n.leftI = parseAttrInt(n, key)
+      n.leftI
+    case "WIDTH" =>
+      if (n.widthI == Int.MinValue) n.widthI = parseAttrInt(n, key)
+      n.widthI
+    case "HEIGHT" =>
+      if (n.heightI == Int.MinValue) n.heightI = parseAttrInt(n, key)
+      n.heightI
+    case _ => parseAttrInt(n, key)
   }
 
   /** A fragment in flight through the banding passes: `key` is the probed

@@ -35,6 +35,14 @@ object XmlTok {
     var textAttributes: Map[String, Vector[Span]] = Map.empty
     /** lazily allocated: most elements (every <text> leaf) have none */
     private[XmlTok] var childrenBuf: ArrayBuffer[XNode] = null
+    /** memo slots for Layout.attrInt's hot keys (TOP/LEFT/WIDTH/HEIGHT):
+      * the banding passes re-read them several times per fragment and the
+      * string->int parse was measurable. Int.MinValue = not yet parsed.
+      */
+    private[pdfxml] var topI: Int = Int.MinValue
+    private[pdfxml] var leftI: Int = Int.MinValue
+    private[pdfxml] var widthI: Int = Int.MinValue
+    private[pdfxml] var heightI: Int = Int.MinValue
 
     private[XmlTok] def addChild(n: XNode): Unit = {
       if (childrenBuf == null) childrenBuf = new ArrayBuffer[XNode](4)
