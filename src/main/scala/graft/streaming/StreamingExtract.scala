@@ -162,7 +162,15 @@ object StreamingExtract {
                 math.min(s.firstTs, t), math.max(s.lastTs, t))
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastTs + gapMinutes * 60000L)
+            // live-tailing guard: a conversation can arrive with its gap
+            // ALREADY behind the watermark (late-but-not-dropped rows);
+            // setTimeoutTimestamp throws on a timestamp <= watermark, so
+            // clamp forward — the session then emits at the very next
+            // watermark advance, which is the correct "already quiet"
+            // semantics. Single-batch backfill never hits this (wm = 0).
+            state.setTimeoutTimestamp(math.max(
+              s.lastTs + gapMinutes * 60000L,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           })
   }

@@ -346,6 +346,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size < all, "every conversation emitted - timeout rule not exercised")
   }
 
+  test("streaming: sessionization survives rows arriving behind the watermark (live path)") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_live").toString
+    val t = Transcripts.synthesize(sp, 20, seed = 7L).toDF()
+    val mid = t.agg(expr("percentile(cast(ts as long), 0.5)")).head().getDouble(0).toLong
+    val fresh = t.filter(col("ts").cast("long") >= mid)
+    val early = t.filter(col("ts").cast("long") < mid)
+    val now = System.currentTimeMillis()
+    val Array(fa, fb) = fresh.randomSplit(Array(0.5, 0.5), seed = 1L)
+    writeStreamFile(fa, dir, "f0.parquet", now - 300000)
+    writeStreamFile(fb, dir, "f1.parquet", now - 200000)
+    writeStreamFile(early, dir, "f2.parquet", now - 100000) // behind the wm
+    // bounded triggers: batch 2's conversations arrive with last_ts + gap
+    // already behind the watermark — without the timeout clamp this THROWS
+    // (setTimeoutTimestamp <= watermark); with it they emit at the next
+    // watermark advance
+    val q = StreamingExtract.startMemory(
+      StreamingExtract.sessionizedStream(
+        StreamingExtract.extractedStream(
+          StreamingExtract.readTranscripts(sp, dir, maxFilesPerTrigger = Some(1)))).toDF(),
+      "sess_live")
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"live sessionization failed: ${q.exception}")
+    val emitted = sp.sql("SELECT count(*) FROM sess_live").head().getLong(0)
+    assert(emitted > 0)
+  }
+
   test("streaming: exact dedup within watermark drops planted duplicates") {
     val sp = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
