@@ -15,8 +15,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class DualRoundTripSpec extends AnyFunSuite {
 
   test("dual-dialog documents round-trip across seeds") {
+    // default 25 seeds; GRAFT_DUAL_SEEDS widens the family for soak runs
+    val nSeeds = sys.env.getOrElse("GRAFT_DUAL_SEEDS", "25").toInt
     var totalDuals = 0
-    (0 until 25).foreach { seed =>
+    (0 until nSeeds).foreach { seed =>
       val elems = ScreenplayGen.elementsWithDual(seed.toLong, 4)
       val nDuals = elems.count(_.isInstanceOf[ScreenplayGen.Dual])
       totalDuals += nDuals
@@ -42,6 +44,6 @@ class DualRoundTripSpec extends AnyFunSuite {
       assert(flagged.count(_.isDualLine) == nDuals, s"seed $seed: right flags")
     }
     assert(totalDuals >= 20, s"fixture family too small: $totalDuals duals")
-    info(s"round-tripped $totalDuals dual exchanges across 25 seeds")
+    info(s"round-tripped $totalDuals dual exchanges across $nSeeds seeds")
   }
 }

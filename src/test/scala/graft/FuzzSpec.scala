@@ -14,10 +14,12 @@ class FuzzSpec extends AnyFunSuite {
     graft.synth.ShakespeareGen.generate(2L, 2, "Fuzz Play").html)
 
   test("extract never throws on mangled inputs") {
+    // default 3000 cases; GRAFT_FUZZ_N widens for soak runs
+    val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "3000").toInt
     val r = new java.util.SplittableRandom(0xF0220L)
     val alphabet = "<>/=\"' abAB19\t\n&;#[]().*-é中😀"
     var i = 0
-    while (i < 3000) {
+    while (i < fuzzN) {
       val mode = r.nextInt(6)
       val s: String = mode match {
         case 0 => // random soup
