@@ -77,6 +77,40 @@ object Bench {
       exOnlySecs.sorted.apply(exOnlySecs.length / 2), mismatches)
   }
 
+  /** Pure-CPU calibration burn: a fixed xorshift loop on `threads`
+    * threads for ~`targetSecs`, returning M iters/s aggregate. No memory
+    * traffic, no Spark — the number depends only on how much CPU the
+    * host is actually giving this JVM. Sampled before the headline and
+    * after the sweep and emitted in the bench JSON, so a contended
+    * driver-run window (BENCH_r03's pristine block read 24x slow while
+    * the code was fine) is self-evident from the artifact alone instead
+    * of requiring a re-run adjudication. Expected envelope on this host
+    * is documented in BENCH/BASELINE.md.
+    */
+  def calibBurn(threads: Int, targetSecs: Double = 2.0): Double = {
+    val stopAt = System.nanoTime() + (targetSecs * 1e9).toLong
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L) // defeats DCE
+    val ts = (0 until threads).map { i =>
+      val t = new Thread { override def run(): Unit = {
+        var x = 0x9E3779B97F4A7C15L + i
+        var n = 0L
+        while (System.nanoTime() < stopAt) {
+          var k = 0
+          while (k < (1 << 20)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; k += 1 }
+          n += (1 << 20)
+        }
+        sink.addAndGet(x)
+        total.addAndGet(n); ()
+      } }
+      t.setDaemon(true); t
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    total.get() / secs / 1e6
+  }
+
   private def extractionJson(ex: ExtractionBench): String = {
     val turnsPerSec = if (ex.medianSecs > 0) ex.turns / ex.medianSecs else 0.0
     val exOnlyPerSec = if (ex.extractOnlySecs > 0) ex.turns / ex.extractOnlySecs else 0.0
@@ -103,6 +137,7 @@ object Bench {
     // 35.1/7.5/32.3). The same measurement is repeated post-sweep below so
     // both orders stay visible in every BENCH_r{N}.json.
     val nConvs = if (sfDir.contains("0.1")) 20000L else if (sfDir.contains("0.01")) 2000L else 200L
+    val calibBefore = calibBurn(cpus.toInt)
     val ex = extractionBench(spark, nConvs, cpus.toInt)
 
     // untimed: materialize synthesized inputs the timed queries read (q22)
@@ -116,6 +151,7 @@ object Bench {
 
     // same measurement after the sweep: quantifies harness-state drift
     val exPost = extractionBench(spark, nConvs, cpus.toInt)
+    val calibAfter = calibBurn(cpus.toInt)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -126,6 +162,8 @@ object Bench {
     json ++= ",\"sf\":\"" ++= sfDir ++= "\""
     json ++= ",\"extraction\":" ++= extractionJson(ex)
     json ++= ",\"extraction_post_sweep\":" ++= extractionJson(exPost)
+    json ++= ",\"calib_before_miters_s\":" ++= f"$calibBefore%.1f"
+    json ++= ",\"calib_after_miters_s\":" ++= f"$calibAfter%.1f"
     json ++= ",\"cpus\":" ++= cpus ++= "}"
     println(json.toString)
     spark.stop()

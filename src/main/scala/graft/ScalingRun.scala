@@ -50,7 +50,8 @@ object ScalingRun {
     val a = run()
     val b = run()
     val best = Seq(a, b).minBy(_._3)
-    require(warm._1 == best._1 && a._1 == b._1, "inconsistent row counts")
+    require(warm._1 == best._1 && warm2._1 == best._1 && a._1 == b._1,
+      "inconsistent row counts")
     val thr = best._1 / best._3
     val all = Seq(warm, warm2, a, b).map(r => f"${r._3}%.2f").mkString("[", ",", "]")
     println(f"""{"label":"$label","turns":${best._1},"lines":${best._2},"seconds":${best._3}%.3f,"turns_per_sec":$thr%.1f,"all_run_secs":$all}""")

@@ -63,6 +63,19 @@ object SparkEntry {
     "CASE kind WHEN 'Dialog' THEN 'Dialogue' WHEN 'Slugline' THEN 'Scene'" +
       " WHEN 'Paren' THEN 'Parens' WHEN 'Act' THEN 'New Act' ELSE kind END"
 
+  /** Await a streaming query and fail LOUDLY on timeout or stream death:
+    * the streaming queries read their parquet sinks back after this call,
+    * so a silently-partial sink would surface as an opaque oracle
+    * mismatch instead of the real harness failure.
+    */
+  private def awaitStream(q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String, timeoutMs: Long = 120000L): Unit = {
+    val finished = q.awaitTermination(timeoutMs)
+    q.exception.foreach(e => throw new IllegalStateException(
+      s"$name: streaming query died: ${e.getMessage}", e))
+    require(finished, s"$name: streaming query did not terminate within ${timeoutMs}ms")
+  }
+
   /** transcripts scale keyed off the sf directory (deterministic, no I/O) */
   private def nConvsFor(dir: String): Long =
     if (dir.contains("0.1")) 1000L else if (dir.contains("0.01")) 200L else 40L
@@ -411,7 +424,7 @@ object SparkEntry {
           graft.streaming.StreamingExtract.extractedStream(
             graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in"))),
         s"$tmp/out", s"$tmp/ck")
-      q.awaitTermination(120000)
+      awaitStream(q, "q23b_stream_windows_wm")
       s.read.parquet(s"$tmp/out")
         .select(col("window.start").as("win_start"), col("format"),
           col("turns").cast("bigint").as("turns"),
@@ -443,7 +456,7 @@ object SparkEntry {
           graft.streaming.StreamingExtract.extractedStream(
             graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in"))).toDF(),
         s"$tmp/out", s"$tmp/ck")
-      q.awaitTermination(120000)
+      awaitStream(q, "q31_stream_sessions")
       s.read.parquet(s"$tmp/out")
         .select(col("conv_id"), col("turns").cast("bigint").as("turns"),
           col("lines").cast("bigint").as("lines"),
@@ -476,7 +489,7 @@ object SparkEntry {
         graft.streaming.StreamingExtract.dedupedStream(
           graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in")),
         s"$tmp/out", s"$tmp/ck")
-      q.awaitTermination(120000)
+      awaitStream(q, "q30_stream_dedup")
       s.read.parquet(s"$tmp/out")
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n_unique"))
@@ -506,7 +519,7 @@ object SparkEntry {
         graft.streaming.StreamingExtract.extractedStream(
           graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in")),
         s"$tmp/out", s"$tmp/ck")
-      q.awaitTermination(120000)
+      awaitStream(q, "q23_stream_windows")
       s.read.parquet(s"$tmp/out")
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n_turns"),

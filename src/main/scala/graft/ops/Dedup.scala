@@ -78,8 +78,13 @@ object Dedup {
   }
 
   private val hotOpCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val hotListenerSessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  // weakly keyed: the registered listener is owned by the session's own
+  // listenerManager, so once a (stopped) session becomes unreachable both
+  // it and the listener can be collected — this set must not pin them in
+  // a long-lived JVM that creates/stops many sessions (tests do).
+  private val hotListenerSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   private def ensureHotListener(sp: org.apache.spark.sql.SparkSession): Unit =
     if (hotListenerSessions.add(sp)) {

@@ -179,8 +179,19 @@ object TranscriptTable {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        Await.result(Future.sequence(todo.map(b => Future(processBucket(b)))), Duration.Inf)
-        ()
+        // Drain ALL in-flight buckets before propagating a failure: a
+        // fail-fast Await would return while straggler jobs are still
+        // writing their bucket=<b> dirs, and a caller retrying
+        // extractWithCheckpoints (the documented resume flow) could then
+        // race a fresh Overwrite against a straggler's commit. Each future
+        // is folded to Either so sequence never short-circuits; the first
+        // failure is rethrown only after every bucket job has finished.
+        val settled = Await.result(
+          Future.sequence(todo.map(b =>
+            Future(processBucket(b)).map(Right(_): Either[Throwable, Unit])
+              .recover { case t => Left(t) })),
+          Duration.Inf)
+        settled.collectFirst { case Left(t) => t }.foreach(t => throw t)
       } finally pool.shutdown()
     }
     readCounters(outRoot)

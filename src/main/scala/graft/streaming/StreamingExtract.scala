@@ -26,8 +26,12 @@ object StreamingExtract {
     * (`maxFilesPerTrigger = None`): the watermark only moves after all data
     * is in, so append mode emits exactly the windows closed by
     * `max(ts) - delay`. Bounded triggers are safe for LIVE tailing, where
-    * arrival order tracks event time; see the late-drop pinning test in
-    * StreamingSpec for the unordered-history failure mode.
+    * arrival order tracks event time. The failure mode and both sides of
+    * the contract are pinned in OpsSpec: "bounded triggers over unordered
+    * history DROP late rows (pinned failure mode)", "watermark backfill
+    * over unordered history is exact with single-batch ingest", and
+    * "sessionization survives rows arriving behind the watermark (live
+    * path)".
     */
   def readTranscripts(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {

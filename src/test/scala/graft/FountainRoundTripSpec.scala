@@ -77,6 +77,9 @@ class FountainRoundTripSpec extends AnyFunSuite {
   }
 
   test("fountain render -> re-parse over all 37 plays: structure exact, lossiness pinned") {
+    // cancel (not fail) where the reference corpus checkout is absent —
+    // the suite must stay runnable in environments without /root/reference
+    assume(Files.isDirectory(corpusDir), s"reference corpus not present at $corpusDir")
     val ps = plays
     assert(ps.size == 37, s"expected 37 plays, found ${ps.size}")
     var total = 0L
