@@ -316,6 +316,65 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_lines_ok"))
     }),
+    "q32_dual_verify" -> ((s, dir) => {
+      // C10 driver attestation: a SEPARATE dual-heavy corpus (every
+      // assistant turn carries dual-dialog exchanges) — deliberately not
+      // the headline/scaling corpus (BENCH/BASELINE.md corpus-weight
+      // note). Per-turn hash verification includes the dual column and
+      // both dual flags, so a wrong splice order, a missed has_dual /
+      // is_dual flag, or a mis-assigned column is a red row. The oracle
+      // recomputes n_turns / n_dual_turns from the materialized GOLDENS
+      // (never extractor output) and expects every turn to verify; the
+      // Spark-side n_dual_turns comes from the EXTRACTED flags, so the
+      // row also proves the corpus actually contains duals and the
+      // extractor surfaced them.
+      val n = math.min(nConvsFor(dir), 200L)
+      val goldens = Transcripts.dualGoldens(s, n, seed = 4242L).toDF()
+      materialize(goldens, "q32_goldens")
+      val transcripts = Transcripts.synthesizeDual(s, n, seed = 4242L).toDF()
+      val lines = Pipeline.lines(Pipeline.extracted(transcripts))
+      val verd = Pipeline.verifyByHash(lines, goldens,
+        fields = Seq("kind", "text", "page_num", "given_page_num",
+          "column", "has_dual", "is_dual"))
+      val dualTurns = lines.groupBy(col("conv_id"), col("turn_idx"))
+        .agg(max(when(col("has_dual"), 1).otherwise(0)).as("hd"))
+      verd.join(dualTurns, Seq("conv_id", "turn_idx"), "left")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("turn_ok")).cast("bigint").as("n_turns_ok"),
+          coalesce(sum(col("hd")), lit(0)).cast("bigint").as("n_dual_turns"))
+    }),
+    "q33_revisions" -> ((s, dir) => {
+      // A4/A5 driver attestation: colored-revision corpus. The goldens
+      // carry the generator's independent simulation of the reference's
+      // weight-list dynamics (rank per revision) plus expected span
+      // attribution; the Spark side re-derives both from extraction —
+      // the ordered ex.revisions list and the per-line (weight,start,end)
+      // spans resolved through it. A wrong key binding, a mis-ordered
+      // weight list, or a dropped/misattributed span is a red row.
+      val n = math.min(nConvsFor(dir), 200L)
+      val goldens = Transcripts.revGoldens(s, n, seed = 777L).toDF()
+      materialize(goldens, "q33_goldens")
+      val transcripts = Transcripts.synthesizeRev(s, n, seed = 777L).toDF()
+      val ex = Pipeline.extracted(transcripts)
+      val revs = ex.select(col("conv_id"), col("turn_idx"),
+          posexplode_outer(col("ex.revisions")).as(Seq("rank", "rev")))
+        .filter(col("rev").isNotNull)
+        .select(col("conv_id"), col("turn_idx"), col("rank"),
+          col("rev.name").as("name"), col("rev.color").as("color"))
+      val spans = ex.select(col("conv_id"), col("turn_idx"),
+          posexplode_outer(col("ex.lines")).as(Seq("line_idx", "line")))
+        .filter(col("line").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          explode_outer(col("line.revs")).as("rv"))
+        .filter(col("rv").isNotNull)
+        .groupBy(col("conv_id"), col("turn_idx"), col("rv.weight").as("rank"))
+        .agg(count(lit(1)).as("nsp"))
+      revs.join(spans, Seq("conv_id", "turn_idx", "rank"), "left")
+        .na.fill(0L, Seq("nsp"))
+        .groupBy(col("name"), col("color"), col("rank").cast("bigint").as("rank"))
+        .agg(count(lit(1)).as("n_turns"), sum(col("nsp")).cast("bigint").as("n_spans"))
+        .orderBy(col("name"), col("color"), col("rank"))
+    }),
     "q19_char_rank" -> ((s, dir) => {
       val n = nConvsFor(dir)
       materialize(Transcripts.goldens(s, n, seed = 42L).toDF(), "q19_goldens")
@@ -680,6 +739,21 @@ object SparkEntry {
     "q18b_verify_lines" ->
       """SELECT COUNT(*) AS n_lines, COUNT(*) AS n_lines_ok
         | FROM read_parquet('{MAT}/q18b_goldens/*.parquet')""".stripMargin.replace("\n", ""),
+    "q33_revisions" ->
+      """SELECT name, color, CAST(rank AS BIGINT) AS rank,
+        | COUNT(*) AS n_turns, CAST(SUM(n_spans) AS BIGINT) AS n_spans
+        | FROM read_parquet('{MAT}/q33_goldens/*.parquet')
+        | GROUP BY name, color, rank ORDER BY name, color, rank""".stripMargin.replace("\n", ""),
+    "q32_dual_verify" ->
+      // every turn must verify (hash includes column/has_dual/is_dual);
+      // n_dual_turns recomputed from the golden has_dual flags must match
+      // the count derived from the EXTRACTED flags on the Spark side
+      """WITH t AS (SELECT conv_id, turn_idx,
+        |     MAX(CASE WHEN has_dual THEN 1 ELSE 0 END) AS hd
+        |   FROM read_parquet('{MAT}/q32_goldens/*.parquet')
+        |   GROUP BY conv_id, turn_idx)
+        | SELECT COUNT(*) AS n_turns, COUNT(*) AS n_turns_ok,
+        |   CAST(SUM(hd) AS BIGINT) AS n_dual_turns FROM t""".stripMargin.replace("\n", ""),
     "q19_char_rank" ->
       (s"""WITH g AS (SELECT conv_id, turn_idx, line_idx, $kindToTypeSql AS type, text
         |   FROM read_parquet('{MAT}/q19_goldens/*.parquet')),

@@ -46,7 +46,8 @@ object Pipeline {
         col("line.kind").as("kind"), col("line.type").as("type"),
         col("line.text").as("text"), col("line.page_num").as("page_num"),
         col("line.given_page_num").as("given_page_num"),
-        col("line.column").as("column"), col("line.num_lines").as("num_lines"))
+        col("line.column").as("column"), col("line.num_lines").as("num_lines"),
+        col("line.has_dual").as("has_dual"), col("line.is_dual").as("is_dual"))
 
   private def orderedWindow =
     Window.partitionBy("conv_id", "turn_idx").orderBy("line_idx")
@@ -121,16 +122,15 @@ object Pipeline {
     * ~70x fewer rows than [[verify]] and the aggregation is map-side
     * combinable. Returns (conv_id, turn_idx, turn_ok).
     */
-  def verifyByHash(linesDf: DataFrame, goldens: DataFrame): DataFrame = {
+  def verifyByHash(linesDf: DataFrame, goldens: DataFrame,
+      fields: Seq[String] = Seq("kind", "text", "page_num", "given_page_num")): DataFrame = {
     def digest(df: DataFrame): DataFrame =
-      df.withColumn("lh", xxhash64(col("line_idx"), col("kind"), col("text"),
-          col("page_num"), col("given_page_num")))
+      df.withColumn("lh", xxhash64(col("line_idx") +: fields.map(col): _*))
         .groupBy(col("conv_id"), col("turn_idx"))
         .agg(expr("bit_xor(lh)").as("h"), count(lit(1)).as("n"))
-    val a = digest(linesDf.select(col("conv_id"), col("turn_idx"), col("line_idx"),
-      col("kind"), col("text"), col("page_num"), col("given_page_num")))
-    val b = digest(goldens.select(col("conv_id"), col("turn_idx"), col("line_idx"),
-      col("kind"), col("text"), col("page_num"), col("given_page_num")))
+    val keyed = Seq("conv_id", "turn_idx", "line_idx") ++ fields
+    val a = digest(linesDf.select(keyed.map(col): _*))
+    val b = digest(goldens.select(keyed.map(col): _*))
       .withColumnRenamed("h", "g_h").withColumnRenamed("n", "g_n")
     a.join(b, Seq("conv_id", "turn_idx"), "full_outer")
       .withColumn("turn_ok",

@@ -17,6 +17,26 @@ final case class GoldenLine(
     conv_id: String, turn_idx: Int, line_idx: Int,
     kind: String, text: String, page_num: Int, given_page_num: String)
 
+/** Golden line for the dual-dialog corpus (C10 attestation): the J4
+  * fields plus the engine's dual column tracking — `column` 1/2 for the
+  * left/right splice rows, `has_dual`/`is_dual` on the paired Character
+  * rows (ParseText.php:1412-1563 recovery, WriteOutput.php:282-302
+  * column assignment).
+  */
+final case class DualGoldenLine(
+    conv_id: String, turn_idx: Int, line_idx: Int,
+    kind: String, text: String, page_num: Int, given_page_num: String,
+    column: Int, has_dual: Boolean, is_dual: Boolean)
+
+/** One expected final revision per turn of the colored-revision corpus
+  * (A4 attestation): `rank` is the revision's position in the engine's
+  * weight-ordered output list (Parser.php:409-417), `n_spans` the total
+  * revision spans attributed to it across the turn's lines.
+  */
+final case class RevGoldenLine(
+    conv_id: String, turn_idx: Int, rank: Long,
+    name: String, color: String, n_spans: Long)
+
 /** Deterministic synthetic multi-turn transcript corpus: each assistant
   * turn's payload is a document (pdftohtml-style XML or Shakespeare-style
   * HTML, ~50/50), other turns carry small plain-text payloads. Generation
@@ -103,4 +123,113 @@ object Transcripts {
 
   def df(spark: SparkSession, nConvs: Long, seed: Long = 42L): DataFrame =
     synthesize(spark, nConvs, seed).toDF()
+
+  // ---- dual-dialog corpus (C10 driver attestation) -----------------------
+  // A SEPARATE, small corpus whose every assistant turn is a pdfxml
+  // document with dual-dialog exchanges (ScreenplayGen.elementsWithDual).
+  // Kept out of the headline/scaling corpus on purpose: dual exchanges
+  // add ~45% extracted lines per turn and measurably dent the N->4N
+  // scaling figure on this box (BENCH/BASELINE.md "corpus weight" note).
+
+  /** Deterministic turns for one dual-heavy conversation, with goldens
+    * carrying the expected column / dual flags per line.
+    */
+  def dualTurnsFor(seed: Long, k: Long, avgTurns: Int): Seq[(Turn, Seq[DualGoldenLine])] = {
+    val r = new java.util.SplittableRandom(seed * 2000003L + k)
+    val id = f"dual-$seed%x-$k%08d"
+    val nTurns = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
+    (0 until nTurns).map { ti =>
+      val role = if (ti % 2 == 0) "user" else "assistant"
+      val ts = new Timestamp(epochMs + k * 3600000L + ti * 60000L)
+      if (role == "assistant") {
+        val docSeed = seed ^ (k * 7919L + ti)
+        val doc = ScreenplayGen.render(
+          ScreenplayGen.elementsWithDual(docSeed, 2 + r.nextInt(3)),
+          ScreenplayGen.Options(headerText = s"DUAL DRAFT $id"))
+        val goldens = doc.expected.zip(doc.dualMeta).zipWithIndex.map {
+          case (((kind, text, page, given), (column, hasDual, isDual)), li) =>
+            DualGoldenLine(id, ti, li, kind, text, page, given, column, hasDual, isDual)
+        }
+        (Turn(id, ti, role, doc.xml, "pdftohtml", ts), goldens)
+      } else {
+        val text = s"dual-corpus turn $ti of $id: " + ("ipsum " * (1 + r.nextInt(6))).trim
+        (Turn(id, ti, role, text, "", ts), Seq.empty[DualGoldenLine])
+      }
+    }
+  }
+
+  /** Distributed synthesis of the dual-heavy corpus. */
+  def synthesizeDual(spark: SparkSession, nConvs: Long, seed: Long = 4242L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => dualTurnsFor(seed, k, avgTurns).map(_._1))
+  }
+
+  /** Goldens side of the dual corpus (same seed => exact pairing). */
+  def dualGoldens(spark: SparkSession, nConvs: Long, seed: Long = 4242L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[DualGoldenLine] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => dualTurnsFor(seed, k, avgTurns).flatMap(_._2))
+  }
+
+  // ---- colored-revision corpus (A4/A5 driver attestation) ----------------
+
+  /** The fixed draft-revision palette: header names + hex colors. */
+  val revPalette: Vector[(String, String)] = Vector(
+    ("Blue Draft", "#0000ff"),
+    ("Pink Draft", "#ff00ff"),
+    ("Goldenrod Draft", "#daa520"))
+
+  /** Deterministic turns for one colored-revision conversation. Goldens
+    * carry the expected FINAL revision list per turn — rank (weight
+    * order), bound name, color, attributed span count — derived by the
+    * generator's independent simulation of Parser.php:239-486.
+    */
+  def revTurnsFor(seed: Long, k: Long, avgTurns: Int): Seq[(Turn, Seq[RevGoldenLine])] = {
+    val r = new java.util.SplittableRandom(seed * 3000017L + k)
+    val id = f"rev-$seed%x-$k%08d"
+    val nTurns = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
+    (0 until nTurns).map { ti =>
+      val role = if (ti % 2 == 0) "user" else "assistant"
+      val ts = new Timestamp(epochMs + k * 3600000L + ti * 60000L)
+      if (role == "assistant") {
+        val docSeed = seed ^ (k * 104729L + ti)
+        // 7-11 scenes: enough body pages that mixed pages occur and the
+        // weight-list bump actually reorders (at 3-5 scenes most docs stay
+        // under 3 body pages and the reorder path would go unexercised)
+        val doc = ScreenplayGen.render(
+          ScreenplayGen.elements(docSeed, 7 + r.nextInt(5)),
+          ScreenplayGen.Options(revisions = revPalette))
+        val goldens = doc.revExpected.map { case (rank, name, color, nSpans) =>
+          RevGoldenLine(id, ti, rank, name, color, nSpans)
+        }
+        (Turn(id, ti, role, doc.xml, "pdftohtml", ts), goldens)
+      } else {
+        val text = s"rev-corpus turn $ti of $id: " + ("dolor " * (1 + r.nextInt(6))).trim
+        (Turn(id, ti, role, text, "", ts), Seq.empty[RevGoldenLine])
+      }
+    }
+  }
+
+  /** Distributed synthesis of the colored-revision corpus. */
+  def synthesizeRev(spark: SparkSession, nConvs: Long, seed: Long = 777L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => revTurnsFor(seed, k, avgTurns).map(_._1))
+  }
+
+  /** Goldens side of the colored-revision corpus. */
+  def revGoldens(spark: SparkSession, nConvs: Long, seed: Long = 777L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[RevGoldenLine] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => revTurnsFor(seed, k, avgTurns).flatMap(_._2))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.synth
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** Deterministic synthetic screenplay documents in pdftohtml-XML shape
@@ -31,8 +32,15 @@ object ScreenplayGen {
   final case class Dual(nameL: String, linesL: Vector[String],
       nameR: String, linesR: Vector[String]) extends Elem
 
-  final case class Doc(xml: String, expected: Vector[(String, String, Int, String)])
+  final case class Doc(xml: String, expected: Vector[(String, String, Int, String)],
+      dualMeta: Vector[(Int, Boolean, Boolean)] = Vector.empty,
+      revExpected: Vector[(Long, String, String, Long)] = Vector.empty)
   // expected tuples: (kind, text, pageNum, givenPageNum)
+  // dualMeta (aligned 1:1 with expected when non-empty): the
+  // (column, has_dual, is_dual) the engine's WriteOutput-style column
+  // tracking assigns each line — (1,true,false) left Character,
+  // (1,false,false) left Dialog, (2,false,true) right Character,
+  // (2,false,false) right Dialog, (0,false,false) everything else
 
   private val words = Vector("the", "quick", "brown", "fox", "jumps", "over",
     "a", "lazy", "dog", "near", "old", "barn", "while", "rain", "falls",
@@ -114,7 +122,19 @@ object ScreenplayGen {
         * y-cluster + gap-merge must reassemble them, leaving the expected
         * output unchanged (G1/G2 invariance)
         */
-      fragmentJitter: Boolean = false)
+      fragmentJitter: Boolean = false,
+      /** A4/A5 corpus mode: colored draft revisions as (header name, hex).
+        * When non-empty, each body page's header carries one revision's
+        * name and that page's Dialog lines render in revision colors —
+        * single-color "key pages" bind (name, color) pairs exactly as the
+        * reference's handle_key_name rule expects (ParseText.php:831-845),
+        * and designated mixed pages carry a second, already-bound color to
+        * exercise the weight-list bump (Parser.php:377-382). The expected
+        * final (rank, name, color, span count) list is derived by
+        * [[Doc.revExpected]] from the render-time page log via an
+        * independent simulation of Parser.php:239-486's weight dynamics.
+        */
+      revisions: Vector[(String, String)] = Vector.empty)
 
   /** Render elements to pdftohtml-style XML and derive the expected
     * extraction output.
@@ -130,23 +150,42 @@ object ScreenplayGen {
     val xml = new StringBuilder
     xml.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<pdf2xml producer=\"synthetic\" version=\"1\">\n")
     val expected = ArrayBuffer.empty[(String, String, Int, String)]
+    // expected-index -> (column, has_dual, is_dual) for dual splice rows;
+    // every unlisted index is (0, false, false)
+    val dualAt = scala.collection.mutable.Map.empty[Int, (Int, Boolean, Boolean)]
 
     var pageNo = 0 // printed page number
     var bodyPageCount = 0
 
-    def openPage(): Unit = {
+    // ---- revision-corpus state (opts.revisions nonEmpty) -----------------
+    val revPalette = opts.revisions
+    // revisions that got a single-color page with at least one colored
+    // line — eligible to appear on mixed pages (guarantees no UNKNOWNs)
+    val keyBound = mutable.LinkedHashSet.empty[Int]
+    var nextSingle = 0
+    var curPrimary = -1
+    var curSecondary = -1 // -1: single-color page plan
+    var diaOnPage = 0
+    // per body page: (header name, colored rev ids in first-use order)
+    val revPageLog = ArrayBuffer.empty[(String, ArrayBuffer[Int])]
+    val revSpans = mutable.Map.empty[Int, Long]
+
+    def openPage(hdrText: String = opts.headerText): Unit = {
       pageNo += 1
       xml.append(s"""<page number="$pageNo" position="absolute" top="0" left="0" height="$pageH" width="$pageW">\n""")
       xml.append(s"""\t<fontspec id="0" size="12" family="Courier" color="#000000"/>\n""")
-      if (opts.headerText.nonEmpty && pageNo > 1)
-        xml.append(s"""\t<text top="36" left="$xSlug" width="${opts.headerText.length * charW}" height="$lineH" font="0">${esc(opts.headerText)}</text>\n""")
+      revPalette.zipWithIndex.foreach { case ((_, hex), i) =>
+        xml.append(s"""\t<fontspec id="${i + 1}" size="12" family="Courier" color="$hex"/>\n""")
+      }
+      if (hdrText.nonEmpty && pageNo > 1)
+        xml.append(s"""\t<text top="36" left="$xSlug" width="${hdrText.length * charW}" height="$lineH" font="0">${esc(hdrText)}</text>\n""")
       if (opts.pageNumbers && pageNo > 1)
         xml.append(s"""\t<text top="36" left="810" width="${(pageNo.toString + ".").length * charW}" height="$lineH" font="0">$pageNo.</text>\n""")
     }
     def closePage(): Unit = xml.append("</page>\n")
 
     val jitterRnd = new java.util.SplittableRandom(0x5eed)
-    def textLine(top: Int, left: Int, s: String): Unit = {
+    def textLine(top: Int, left: Int, s: String, font: Int = 0): Unit = {
       // split at a single-space word boundary roughly mid-line; the two
       // fragments abut exactly (gap < 7px adds 0 spaces; the space char
       // stays at the end of the first fragment so content is identical)
@@ -160,10 +199,10 @@ object ScreenplayGen {
         val b = s.substring(mid + 1)
         val leftB = left + a.length * charW
         val jitter = jitterRnd.nextInt(5) - 2 // -2..2
-        xml.append(s"""\t<text top="$top" left="$left" width="${a.length * charW}" height="$lineH" font="0">${esc(a)}</text>\n""")
-        xml.append(s"""\t<text top="${top + jitter}" left="$leftB" width="${b.length * charW}" height="$lineH" font="0">${esc(b)}</text>\n""")
+        xml.append(s"""\t<text top="$top" left="$left" width="${a.length * charW}" height="$lineH" font="$font">${esc(a)}</text>\n""")
+        xml.append(s"""\t<text top="${top + jitter}" left="$leftB" width="${b.length * charW}" height="$lineH" font="$font">${esc(b)}</text>\n""")
       } else {
-        xml.append(s"""\t<text top="$top" left="$left" width="${s.length * charW}" height="$lineH" font="0">${esc(s)}</text>\n""")
+        xml.append(s"""\t<text top="$top" left="$left" width="${s.length * charW}" height="$lineH" font="$font">${esc(s)}</text>\n""")
       }
     }
 
@@ -206,12 +245,48 @@ object ScreenplayGen {
     var fresh = false // a page is open with no body line yet
     def newPage(): Unit = {
       if (!fresh && bodyPageCount > 0) closePage()
-      openPage()
+      if (revPalette.nonEmpty) {
+        // revision plan for the NEW body page: every third page (once two
+        // revisions are key-bound) is a mixed page reusing already-bound
+        // revisions; every other page introduces/cycles a single revision
+        // and is a key page by construction
+        val bi = bodyPageCount + 1
+        if (bi % 3 == 0 && keyBound.size >= 2) {
+          val bound = keyBound.toVector
+          curPrimary = bound((bi / 3) % bound.size)
+          curSecondary = bound((bi / 3 + 1) % bound.size)
+        } else {
+          curPrimary = nextSingle % revPalette.length
+          nextSingle += 1
+          curSecondary = -1
+        }
+        diaOnPage = 0
+        revPageLog += ((revPalette(curPrimary)._1, ArrayBuffer.empty[Int]))
+        openPage(revPalette(curPrimary)._1)
+      } else openPage()
       bodyPageCount += 1
       curPageNum = bodyPageCount + 1 // engine: body always starts at page 2
       top = 0
       fresh = true
     }
+
+    /** font id for the lines of one piece: Dialog lines in revision mode
+      * render in the page's revision colors (first Dialog of a mixed page
+      * takes the primary, the second the secondary, the rest the primary
+      * again); everything else stays black so every page keeps a black
+      * font id and mixed pages never key-bind (3 ids >= the reference's
+      * limit, ParseText.php:923-968).
+      */
+    def fontFor(kind: String, nLines: Int): Int =
+      if (revPalette.isEmpty || kind != "Dialog" || curPrimary < 0) 0
+      else {
+        diaOnPage += 1
+        val rv = if (diaOnPage == 2 && curSecondary >= 0) curSecondary else curPrimary
+        if (curSecondary < 0 && !keyBound.contains(curPrimary)) keyBound += curPrimary
+        revPageLog.last._2 += rv
+        revSpans(rv) = revSpans.getOrElse(rv, 0L) + nLines
+        1 + rv
+      }
 
     /** Emit a dual-dialog exchange (C10 canonical layout, mirroring the
       * geometry the reference's recovery pass expects: character row at
@@ -235,9 +310,13 @@ object ScreenplayGen {
         if (i < d.linesR.length) textLine(top, 450, d.linesR(i))
         i += 1
       }
+      dualAt(expected.length) = (1, true, false)
       expected += (("Character", d.nameL, curPageNum, givenOf(pageNo)))
+      dualAt(expected.length) = (1, false, false)
       expected += (("Dialog", d.linesL.mkString(" "), curPageNum, givenOf(pageNo)))
+      dualAt(expected.length) = (2, false, true)
       expected += (("Character", d.nameR, curPageNum, givenOf(pageNo)))
+      dualAt(expected.length) = (2, false, false)
       expected += (("Dialog", d.linesR.mkString(" "), curPageNum, givenOf(pageNo)))
     }
 
@@ -259,7 +338,8 @@ object ScreenplayGen {
       ps.foreach { case (kind, lines, x, gap) =>
         top = if (fresh) 79 else top + gap
         fresh = false
-        lines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s) }
+        val font = fontFor(kind, lines.length)
+        lines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s, font) }
         top += (lines.length - 1) * 24
         expected += ((kind, lines.mkString(" "), curPageNum, givenOf(pageNo)))
       }
@@ -291,7 +371,47 @@ object ScreenplayGen {
     }
     if (top != 0) closePage()
     xml.append("</pdf2xml>\n")
-    Doc(xml.toString, expected.toVector)
+
+    // Independent simulation of the reference's weight-list dynamics
+    // (Parser.php:239-486) over the RECORDED page log, restricted to the
+    // shapes this generator emits (every color key-bound before mixed
+    // use, <=2 colors per page, header always the primary's name — so no
+    // UNKNOWN revisions can arise):
+    //  * first pass: one revision per color that has a key page (a page
+    //    whose only non-black color is it), created in color-registration
+    //    (= fontspec) order;
+    //  * second pass per page: the header-matching revision is pulled out
+    //    and re-inserted at the lowest weights-index among the page's
+    //    other known colors (the bump, Parser.php:377-382);
+    //  * final rank r in the engine's output = reversed weights position.
+    val revExpected: Vector[(Long, String, String, Long)] =
+      if (revPalette.isEmpty) Vector.empty
+      else {
+        val weights = ArrayBuffer.empty[Int]
+        for (c <- revPalette.indices)
+          if (revPageLog.exists { case (_, cols) => cols.nonEmpty && cols.distinct == Seq(c) })
+            weights += c
+        for ((hdr, colsBuf) <- revPageLog; if colsBuf.nonEmpty) {
+          val cols = colsBuf.toVector.distinct
+          val headerIdx = cols.find(ci => weights.contains(ci) && revPalette(ci)._1 == hdr)
+          val h = headerIdx.map(weights.indexOf)
+          val others = cols.filter(ci => !headerIdx.contains(ci) && weights.contains(ci))
+          val s = if (others.isEmpty) None else Some(others.map(weights.indexOf).min)
+          (h, s) match {
+            case (Some(hi), Some(si)) =>
+              val hold = weights.remove(hi)
+              weights.insert(si, hold)
+            case _ => ()
+          }
+        }
+        weights.reverse.zipWithIndex.map { case (c, rank) =>
+          (rank.toLong, revPalette(c)._1, revPalette(c)._2, revSpans.getOrElse(c, 0L))
+        }.toVector
+      }
+
+    Doc(xml.toString, expected.toVector,
+      Vector.tabulate(expected.length)(i => dualAt.getOrElse(i, (0, false, false))),
+      revExpected)
   }
 
   /** blank lines the engine synthesizes between lastTopOffset and top
