@@ -177,7 +177,11 @@ object SparkEntry {
     }),
 
     // ---- training-data pipeline ops over documents/embeddings ------------
-    "q09_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    // NOTE: the dedup ops return UNSORTED frames (a global sort belongs to
+    // the verification gate, not the library operator); the oracled
+    // wrappers below sort for row alignment with the DuckDB ORDER BY.
+    "q09_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy(col("keep_id"))),
     "q28_dedup_canonical" -> ((s, dir) => {
       // window-variant dedup keeping the minimum-id row per content
       Dedup.keepCanonical(t(s, dir, "documents"))
@@ -191,6 +195,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Dedup.embeddingCosinePairs(annDupCorpus(emb), threshold = 0.95)
         .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "q10_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -232,6 +237,7 @@ object SparkEntry {
       Dedup.minhashLsh(docs.union(perturbed), rowsPerBand = 2, threshold = 0.7)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 100).cast("bigint").as("jaccard_pct"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "q14_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -245,6 +251,7 @@ object SparkEntry {
         TextOps.simhash64(col("text")).as("fp")), "q14_fps")
       Dedup.simhashPairs(all, maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "q15_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

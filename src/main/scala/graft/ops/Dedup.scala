@@ -116,7 +116,6 @@ object Dedup {
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
-      .orderBy("keep_id")
 
   /** Near-dup candidate pairs via MinHash + banded LSH:
     * shingle -> signature (map-only Expression) -> explode bands ->
@@ -164,7 +163,6 @@ object Dedup {
       .withColumn("jaccard", jac($"text_a", $"text_b"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into 4x16-bit
@@ -193,7 +191,6 @@ object Dedup {
       .withColumn("hamming", ham($"fp_a", $"fp_b"))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
-      .orderBy($"id_a", $"id_b")
   }
 
   /** Exact dedup keeping first-by-id row per content (window variant,
@@ -215,6 +212,5 @@ object Dedup {
     val pairs = Ann.candidatePairs(df, nPlanes, nTables, seed, idCol, vecCol)
     pairs.filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 }
