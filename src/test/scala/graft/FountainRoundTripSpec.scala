@@ -32,6 +32,20 @@ import scala.jdk.CollectionConverters._
   *    resumes after an embedded action has no cue in Fountain, so it
   *    reads back as action (or as dialogue under a misread caps head).
   *    Text must be preserved byte-for-byte at every element regardless.
+  *
+  * INHERENCE (verified against the reference writer, round 4): the
+  * reference emits the identical ambiguous shape. In WriteOutput.php an
+  * Action object writes "\n$content" (:93-99) with the shared trailing
+  * "\n" (:140), while Dialog/Paren append $content DIRECTLY — no leading
+  * newline, no cue, no blank separator (:105-109). A dialogue resuming
+  * after an embedded action therefore lands as "ACTION\nDIALOG\n":
+  * adjacent lines of one paragraph with no Character cue, which every
+  * Fountain parser (including the reference's own ecosystem) must read
+  * back as action. A disambiguating blank line is NOT legal output the
+  * reference could have emitted — it would detach the dialog into a
+  * standalone (still cue-less) paragraph, not preserve it; Fountain has
+  * no construct for cue-less dialogue. The 5,437/145,532 class below is
+  * the format's floor, not the renderer's.
   */
 class FountainRoundTripSpec extends AnyFunSuite {
 
