@@ -8,9 +8,22 @@ import scala.collection.mutable.ArrayBuffer
 /** Content-shape predicates (reference LooksLike.php:1-188). All regexes
   * precompiled; `find()` = PHP preg_match (unanchored).
   */
+/** Precompiled pattern + thread-local REUSED Matcher. The predicates
+  * below run several times per block per classification pass; a fresh
+  * Matcher per call (the object + its three int[] work arrays) was ~17%
+  * of the engine's per-doc allocation in the round-4 JFR profile.
+  * reset(s) reuses the match-state arrays; semantics are identical.
+  */
+private[pdfxml] final class Re(val pattern: Pattern) {
+  private val tl = new ThreadLocal[java.util.regex.Matcher] {
+    override def initialValue(): java.util.regex.Matcher = pattern.matcher("")
+  }
+  @inline def find(s: CharSequence): Boolean = tl.get().reset(s).find()
+}
+
 object LooksLike {
-  private def p(re: String) = Pattern.compile(re)
-  private def pi(re: String) = Pattern.compile(re, Pattern.CASE_INSENSITIVE)
+  private def p(re: String) = new Re(Pattern.compile(re))
+  private def pi(re: String) = new Re(Pattern.compile(re, Pattern.CASE_INSENSITIVE))
 
   private val trans1 = p("^FADE (IN|OUT|TO)")
   private val trans2 = p("^(JUMP |SLOW |WHIP )?(CUT|DISSOLVE|WIPE|PAN|PULL BACK) TO")
@@ -20,9 +33,9 @@ object LooksLike {
   private val trans6 = p("^TRANSITION[.]?$")
 
   def transition(s: String): Boolean =
-    Php.isUppercase(s) && (trans1.matcher(s).find() || trans2.matcher(s).find() ||
-      trans3.matcher(s).find() || trans4.matcher(s).find() ||
-      trans5.matcher(s).find() || trans6.matcher(s).find())
+    Php.isUppercase(s) && (trans1.find(s) || trans2.find(s) ||
+      trans3.find(s) || trans4.find(s) ||
+      trans5.find(s) || trans6.find(s))
 
   // the regex forms of these are trivial anchored literals; string ops
   // avoid the per-call Matcher allocation on this very hot path
@@ -57,23 +70,23 @@ object LooksLike {
   private val slug4 = p("^SUPER:")
 
   def slugline(s: String): Boolean =
-    Php.isUppercase(s) && (sceneheading(s) || slug1.matcher(s).find() ||
-      slug2.matcher(s).find() || slug3.matcher(s).find() || slug4.matcher(s).find())
+    Php.isUppercase(s) && (sceneheading(s) || slug1.find(s) ||
+      slug2.find(s) || slug3.find(s) || slug4.find(s))
 
   def seriesOrMontageSlugline(s: String): Boolean =
-    slug2.matcher(s).find() || slug3.matcher(s).find()
+    slug2.find(s) || slug3.find(s)
 
   def sluglineOrTransition(s: String): Boolean = slugline(s) || transition(s)
 
   private val voOs = Vector("^m\\. ?o\\. ?s\\.?$", "^mos$", "^vo$", "^v\\. ?o\\.?$",
     "^os$", "^o\\. ?s\\.?$", "^off[- ]?screen$").map(pi)
-  def voOrOs(s: String): Boolean = voOs.exists(_.matcher(s).find())
+  def voOrOs(s: String): Boolean = voOs.exists(_.find(s))
 
   private val voOsNotation = Vector("\\(vo\\)", "\\(os\\)", "\\(oc\\)",
     "\\(v\\. ?o.*\\)", "\\(o\\. ?s.*\\)", "\\(o\\. ?c.*\\)",
     "\\(off[- ]?screen.*\\)").map(pi)
   def containsVoOsNotation(s: String): Boolean =
-    s.indexOf('(') >= 0 && voOsNotation.exists(_.matcher(s).find())
+    s.indexOf('(') >= 0 && voOsNotation.exists(_.find(s))
 
   private val voOsSuffix = Vector(" vo$", " os$", " oc$", " v\\. ?o.$",
     " o\\. ?s.$", " o\\. ?c.$").map(pi)
@@ -84,7 +97,7 @@ object LooksLike {
     val tail = s.substring(math.max(0, n - 6))
     if (Php.indexOfIgnoreCase(tail, " v", 0) < 0 && Php.indexOfIgnoreCase(tail, " o", 0) < 0)
       return false
-    voOsSuffix.exists(_.matcher(s).find())
+    voOsSuffix.exists(_.find(s))
   }
 
   def parenthetical(s: String): Boolean =
@@ -95,7 +108,7 @@ object LooksLike {
   def character(s: String): Boolean = {
     if (Php.mbSubstr(s, 0, 1) == "(") return false
     if (containsVoOsNotation(s)) return true
-    if (charEndPunct.matcher(s).find() && !containsVoOs(s)) return false
+    if (charEndPunct.find(s) && !containsVoOs(s)) return false
     val lim = if (Php.isUppercase(s)) 6 else 3
     if (Php.countOccurrences(s, " ") >= lim) return false
     true
@@ -104,21 +117,21 @@ object LooksLike {
   private val theEnd1 = p("^T(HE|he) E(ND|nd)[.!?]?")
   private val theEnd2 = p("^END( AND CREDITS)?[.]?$")
   def theEnd(s: String): Boolean =
-    theEnd1.matcher(s).find() || theEnd2.matcher(s).find() || s == "(END)"
+    theEnd1.find(s) || theEnd2.find(s) || s == "(END)"
 
   private val pageNum1 = p("^[0-9]+[A-Z]?\\.?$")
   private val pageNum2 = p("^\\([0-9]+[A-Z]?\\.?\\)$")
   def pageNumber(s: String): Boolean =
-    s.nonEmpty && (pageNum1.matcher(s).find() || pageNum2.matcher(s).find())
+    s.nonEmpty && (pageNum1.find(s) || pageNum2.find(s))
 
   def sceneNumber(s: String): Boolean = {
     // ^[0-9]+[A-Z]?\.?$ — gate on a leading digit before the regex
     s.nonEmpty && s.charAt(0) >= '0' && s.charAt(0) <= '9' &&
-      pageNum1.matcher(s).find()
+      pageNum1.find(s)
   }
 
   private val hruleRe = p("^[-]*$")
-  def hrule(s: String): Boolean = s.length > 10 && hruleRe.matcher(s).find()
+  def hrule(s: String): Boolean = s.length > 10 && hruleRe.find(s)
 
   def changebar(lines: Seq[String]): Boolean =
     lines.nonEmpty && lines.head == "*" && lines.forall(_ == "*")
@@ -126,7 +139,7 @@ object LooksLike {
   private val zipRe = p("[A-Z][A-Z],? [0-9]{5}(, USA)?$")
   private val phoneRe = p("[^0-9][0-9]{3}[-.][0-9]{3}[-.][0-9]{4}[^0-9]")
   def contactInfo(lines: Seq[String]): Boolean =
-    lines.exists(l => zipRe.matcher(l).find()) || lines.exists(l => phoneRe.matcher(l).find())
+    lines.exists(l => zipRe.find(l)) || lines.exists(l => phoneRe.find(l))
 
   private val date1 = p("^(.*[^0-9])?[0-9]?[0-9][-./][0-9]?[0-9][-./][0-9][0-9]([^0-9].*)?$")
   private val date2 = p("^(.*[^0-9])?[0-9]?[0-9][-./][0-9]?[0-9][-./](19|20)[0-9][0-9]([^0-9].*)?$")
@@ -143,7 +156,7 @@ object LooksLike {
       i += 1
     }
     hasDigit && hasSep &&
-      (date1.matcher(s).find() || date2.matcher(s).find() || date3.matcher(s).find())
+      (date1.find(s) || date2.find(s) || date3.find(s))
   }
 }
 
@@ -181,7 +194,11 @@ final class BlockPiece(
 final class Block(piece: BlockPiece) {
   var x: Int = piece.x
   val y: Int = piece.y
-  val lines: ArrayBuffer[String] = ArrayBuffer(piece.text)
+  // capacity 1, not ArrayBuffer's default 16: most blocks stay
+  // single-line, and the three 16-slot backing arrays per block were a
+  // top per-doc allocation source (round-4 JFR)
+  val lines: ArrayBuffer[String] = new ArrayBuffer(1)
+  lines += piece.text
   var width: Int = piece.width
   var height: Int = 1
   var kind: String = ""
@@ -190,9 +207,11 @@ final class Block(piece: BlockPiece) {
   var maybes: Vector[String] = Vector.empty
   var hasDualLine: Boolean = false
   var isDualLine: Boolean = false
-  val colors: ArrayBuffer[Map[Int, Vector[Span]]] = ArrayBuffer(piece.colors)
+  val colors: ArrayBuffer[Map[Int, Vector[Span]]] = new ArrayBuffer(1)
+  colors += piece.colors
   var fontSize: Int = piece.fontSize
-  val textAttributes: ArrayBuffer[Map[String, Vector[Span]]] = ArrayBuffer(piece.textAttributes)
+  val textAttributes: ArrayBuffer[Map[String, Vector[Span]]] = new ArrayBuffer(1)
+  textAttributes += piece.textAttributes
   var numberObject: NumberObj = piece.numberObject
 
   // joined-text cache: textAndSpans is consulted by several classifier
@@ -279,7 +298,7 @@ final class Block(piece: BlockPiece) {
     }
     if (LooksLike.sluglineOrTransition(lines(0))) return false
     if (LooksLike.sluglineOrTransition(piece.text)) return false
-    if (isUppercaseSingleLine && Block.upperThenLower.matcher(piece.text).find()) return false
+    if (isUppercaseSingleLine && Block.upperThenLower.find(piece.text)) return false
     if (height == 1 && LooksLike.character(lines(0)) && LooksLike.parenthetical(piece.text)) return false
     true
   }
@@ -293,7 +312,7 @@ final class Block(piece: BlockPiece) {
     var resultTa = textAttributes(0)
     var lx = 1
     while (lx < lines.length) {
-      if (!Block.hyphenEnd.matcher(result).find()) result += " "
+      if (!Block.hyphenEnd.find(result)) result += " "
       val prevLen = Php.mbLen(result)
       colors(lx).foreach { case (k, spans) =>
         val shifted = spans.map(sp => Span(sp.start + prevLen, sp.end + prevLen))
@@ -317,7 +336,7 @@ final class Block(piece: BlockPiece) {
         sb.append(lines(0))
         var lx = 1
         while (lx < lines.length) {
-          if (!Block.hyphenEnd.matcher(sb).find()) sb.append(' ')
+          if (!Block.hyphenEnd.find(sb)) sb.append(' ')
           sb.append(lines(lx))
           lx += 1
         }
@@ -391,9 +410,9 @@ final class Block(piece: BlockPiece) {
       kind = "Paren"
     } else if (probablyDialog) {
       kind = "Dialog"; unsure = true
-    } else if (Block.pronouns.matcher(text).find()) {
+    } else if (Block.pronouns.find(text)) {
       kind = "Dialog"; unsure = true
-    } else if (Block.actionVerbs.matcher(text).find()) {
+    } else if (Block.actionVerbs.find(text)) {
       kind = "Action"; unsure = true
     } else {
       kind = "Unknown"; unsure = true
@@ -429,10 +448,10 @@ final class Block(piece: BlockPiece) {
 }
 
 object Block {
-  private[pdfxml] val hyphenEnd = Pattern.compile("[A-Za-z0-9]-$")
-  private[pdfxml] val upperThenLower = Pattern.compile("^[A-Z].*[a-z]")
-  private[pdfxml] val pronouns =
-    Pattern.compile("[^A-Za-z](I|me|my|you|your|yours)[^A-Za-z]", Pattern.CASE_INSENSITIVE)
-  private[pdfxml] val actionVerbs =
-    Pattern.compile("([Ww]e see|enters|faces|looks|smiles|stares|walks|As (she|he|they))")
+  private[pdfxml] val hyphenEnd = new Re(Pattern.compile("[A-Za-z0-9]-$"))
+  private[pdfxml] val upperThenLower = new Re(Pattern.compile("^[A-Z].*[a-z]"))
+  private[pdfxml] val pronouns = new Re(
+    Pattern.compile("[^A-Za-z](I|me|my|you|your|yours)[^A-Za-z]", Pattern.CASE_INSENSITIVE))
+  private[pdfxml] val actionVerbs = new Re(
+    Pattern.compile("([Ww]e see|enters|faces|looks|smiles|stares|walks|As (she|he|they))"))
 }

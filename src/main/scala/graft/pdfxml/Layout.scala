@@ -190,6 +190,10 @@ object Layout {
 
     // y-cluster: top -> (left-key -> frag), both insertion-ordered
     val linesInPage = mutable.LinkedHashMap.empty[Int, mutable.LinkedHashMap[Int, XNode]]
+    // unboxed membership mirror of linesInPage.keySet: the ±4 snap probes
+    // 9 candidate tops per fragment, and LinkedHashMap.contains(Int) boxes
+    // an Integer per probe (~5% of per-doc allocation, round-4 JFR)
+    val topSeen = new java.util.BitSet(1400)
     val fontObjects = new ArrayBuffer[XNode]
 
     val pageHeight = attrInt(page, "HEIGHT")
@@ -207,9 +211,14 @@ object Layout {
             var off = -Consts.MaxOffsetSameLine
             var snapped = false
             while (!snapped && off <= Consts.MaxOffsetSameLine) {
-              if (linesInPage.contains(top + off)) { top = top + off; snapped = true }
+              val cand = top + off
+              // negative tops (pathological input) fall back to the boxed
+              // lookup so snap semantics stay exactly faithful
+              val hit = if (cand >= 0) topSeen.get(cand) else linesInPage.contains(cand)
+              if (hit) { top = cand; snapped = true }
               off += 1
             }
+            if (top >= 0) topSeen.set(top)
             val line = linesInPage.getOrElseUpdate(top, mutable.LinkedHashMap.empty)
             while (line.contains(leftKey)) leftKey += 1 // collision probe (:306-310)
             line(leftKey) = child
@@ -315,7 +324,12 @@ object Layout {
         var right = 0
         var lineFontSize = 0
         var numberObject = NumberObj()
-        var lineContent = ""
+        // line content accumulates in a builder with its mb-length tracked
+        // incrementally: the string-concat form re-allocated the whole
+        // line per fragment and re-counted code points per query (~15% of
+        // per-doc allocation in the round-4 JFR profile)
+        val lineSb = new java.lang.StringBuilder
+        var lineLen = 0 // Php.mbLen of lineSb, maintained incrementally
         var lineColors = Map.empty[Int, Vector[Span]]
         var lineTextAttributes = Map.empty[String, Vector[Span]]
 
@@ -355,22 +369,24 @@ object Layout {
             val objColorId = colors.getColorId(objFontId)
             val fontPx = fonts.getOrElse(objFontId, 16)
 
-            val textLengthBefore = Php.mbLen(lineContent)
+            val textLengthBefore = lineLen
             // line font size accumulation (ParseText.php:511-512)
             if (text != "" || lineFontSize == 0) {
-              val a = if (lineContent != "") lineFontSize else 0
+              val a = if (lineLen != 0) lineFontSize else 0
               val b =
                 if (text != "") fontPx
                 else math.min(math.floor(basicLineHeight * Consts.FontConversionRate).toInt, fontPx)
               lineFontSize = math.max(a, b)
             }
             // inter-fragment gap -> spaces (ParseText.php:515-524)
-            if (text != "" && lineContent != "" && lastObjRight != 0) {
+            if (text != "" && lineLen != 0 && lastObjRight != 0) {
               val numSpaces = math.floor((objLeft - lastObjRight).toDouble / Consts.DefaultCharWidth).toInt
-              if (numSpaces > 0) lineContent += " " * numSpaces
+              var sp0 = 0
+              while (sp0 < numSpaces) { lineSb.append(' '); sp0 += 1 }
+              if (numSpaces > 0) lineLen += numSpaces
             }
 
-            val priorLineContent = lineContent
+            val priorNonEmpty = lineLen != 0
             // addValueToLineContent (ParseText.php:157-204) with edge trims
             var v = f.value
             var leftTrimmed = 0
@@ -381,29 +397,30 @@ object Layout {
             if (k >= trimRightIdx) {
               val before = Php.mbLen(v); v = Php.customRtrim(v); rightTrimmed = before - Php.mbLen(v)
             }
-            var newLineContent = ""
-            if (v != "") {
+            val newNonEmpty = v != ""
+            if (newNonEmpty) {
               val vLen = Php.mbLen(v)
-              f.node.textAttributes.foreach { case (attr, spans) =>
-                spans.foreach { sp =>
-                  if (sp.end < leftTrimmed) () // fully left-trimmed away
-                  else if (sp.start >= vLen + leftTrimmed) () // fully right-trimmed
-                  else {
-                    val s = math.max(sp.start - leftTrimmed, 0) + textLengthBefore
-                    val e = math.min(sp.end - leftTrimmed, vLen - 1) + textLengthBefore
-                    lineTextAttributes = lineTextAttributes.updated(attr,
-                      lineTextAttributes.getOrElse(attr, Vector.empty) :+ Span(s, e))
+              if (f.node.textAttributes.nonEmpty) // guard: no lambda on the common empty case
+                f.node.textAttributes.foreach { case (attr, spans) =>
+                  spans.foreach { sp =>
+                    if (sp.end < leftTrimmed) () // fully left-trimmed away
+                    else if (sp.start >= vLen + leftTrimmed) () // fully right-trimmed
+                    else {
+                      val s = math.max(sp.start - leftTrimmed, 0) + textLengthBefore
+                      val e = math.min(sp.end - leftTrimmed, vLen - 1) + textLengthBefore
+                      lineTextAttributes = lineTextAttributes.updated(attr,
+                        lineTextAttributes.getOrElse(attr, Vector.empty) :+ Span(s, e))
+                    }
                   }
                 }
-              }
-              newLineContent += v
-              lineContent += v
+              lineSb.append(v)
+              lineLen += vLen
             }
             objLeft += leftTrimmed * Consts.DefaultCharWidth
             objRight -= rightTrimmed * Consts.DefaultCharWidth
 
             if (!colors.specialCase(objColorId)) {
-              val textLengthAfter = Php.mbLen(lineContent)
+              val textLengthAfter = lineLen
               lineColors = lineColors.updated(objColorId,
                 lineColors.getOrElse(objColorId, Vector.empty) :+ Span(textLengthBefore, textLengthAfter))
             }
@@ -413,10 +430,10 @@ object Layout {
               top + (if (text != "") h else math.min(basicLineHeight, h)))
 
             left =
-              if (priorLineContent != "") { if (newLineContent != "") math.min(left, objLeft) else left }
+              if (priorNonEmpty) { if (newNonEmpty) math.min(left, objLeft) else left }
               else objLeft
             right =
-              if (priorLineContent != "") { if (newLineContent != "") math.max(right, objRight) else right }
+              if (priorNonEmpty) { if (newNonEmpty) math.max(right, objRight) else right }
               else objRight
 
             fontsInPage(objColorId) = fontsInPage.getOrElse(objColorId, 0) + 1
@@ -424,7 +441,7 @@ object Layout {
           }
           k += 1
         }
-        out.lineObjects += new LineObj(lineContent, left, right - left, givenPageNum,
+        out.lineObjects += new LineObj(lineSb.toString, left, right - left, givenPageNum,
           lineColors, lineFontSize, lineTextAttributes, numberObject)
       }
     }

@@ -219,6 +219,118 @@ object ExtractTurn {
       t.bytes)
   }
 
+  /** Direct UnsafeRow emission for the extraction output — the round-4
+    * answer to the memory-bandwidth wall. Measured per mixed doc
+    * (AllocProbeSpec protocol): extract 0.21 ms, +toInternal ~0.02 ms,
+    * +UnsafeProjection re-encode of the generic tree another ~0.16 ms —
+    * i.e. the downstream projection's field-by-field traversal of
+    * ~70 GenericInternalRows was ~45% of the Spark-side turn cost.
+    * Writing the UnsafeRow HERE with a thread-local, buffer-reusing
+    * writer makes the enclosing projection's copy a single memcpy
+    * (UnsafeWriter has an `instanceof UnsafeRow` byte-copy fast path)
+    * and drops the per-line row objects, field boxing and re-encode
+    * entirely. The returned row is `copy()`d (one allocation sized to
+    * the turn) so callers may hold it across evals — same contract as
+    * the generic path it replaces.
+    */
+  private val rowWriterTL = new ThreadLocal[org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter] {
+    override def initialValue() =
+      new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(9, 1 << 15)
+  }
+
+  private[spark] def toInternalUnsafe(t: ExtractedTurn): InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
+    val w = rowWriterTL.get()
+    w.reset()
+    w.zeroOutNullBytes()
+    // nested writers share w's buffer holder; allocated once per call,
+    // re-initialized per use (the buffer itself persists across turns)
+    val law = new UnsafeArrayWriter(w, 8)   // lines elements
+    val lw = new UnsafeRowWriter(law, 13)   // one line struct
+    val saw = new UnsafeArrayWriter(lw, 8)  // attrs / revs elements
+    val srw = new UnsafeRowWriter(saw, 3)   // one span struct
+
+    w.write(0, utf8Const(t.format))
+
+    val c1 = w.cursor()
+    val lines = t.lines
+    law.initialize(lines.length)
+    var i = 0
+    val it = lines.iterator
+    while (it.hasNext) {
+      val l = it.next()
+      val cL = law.cursor()
+      lw.resetRowWriter()
+      lw.write(0, utf8Const(l.kind))
+      lw.write(1, utf8Const(l.`type`))
+      lw.write(2, UTF8String.fromString(l.text))
+      lw.write(3, l.pageNum)
+      lw.write(4, UTF8String.fromString(l.givenPageNum))
+      lw.write(5, l.fontSize)
+      lw.write(6, utf8Const(l.alignment))
+      lw.write(7, l.column)
+      lw.write(8, l.numLines)
+      lw.write(9, l.hasDual)
+      lw.write(10, l.isDual)
+      val cA = lw.cursor()
+      saw.initialize(l.attrs.length)
+      var j = 0
+      val ait = l.attrs.iterator
+      while (ait.hasNext) {
+        val (k, s0, e0) = ait.next()
+        val cE = saw.cursor()
+        srw.resetRowWriter()
+        srw.write(0, utf8Const(k))
+        srw.write(1, s0)
+        srw.write(2, e0)
+        saw.setOffsetAndSizeFromPreviousCursor(j, cE)
+        j += 1
+      }
+      lw.setOffsetAndSizeFromPreviousCursor(11, cA)
+      val cR = lw.cursor()
+      saw.initialize(l.revs.length)
+      j = 0
+      val rit = l.revs.iterator
+      while (rit.hasNext) {
+        val (wt, s0, e0) = rit.next()
+        val cE = saw.cursor()
+        srw.resetRowWriter()
+        srw.write(0, wt)
+        srw.write(1, s0)
+        srw.write(2, e0)
+        saw.setOffsetAndSizeFromPreviousCursor(j, cE)
+        j += 1
+      }
+      lw.setOffsetAndSizeFromPreviousCursor(12, cR)
+      law.setOffsetAndSizeFromPreviousCursor(i, cL)
+      i += 1
+    }
+    w.setOffsetAndSizeFromPreviousCursor(1, c1)
+
+    w.write(2, utf8Const(t.pageSize))
+    w.write(3, t.numPages)
+    w.write(4, t.sceneContinuedTop)
+    w.write(5, t.sceneContinuedBottom)
+    w.write(6, t.sceneContinuedNumber)
+    val c7 = w.cursor()
+    val rvw = new UnsafeRowWriter(law, 2)
+    law.initialize(t.revisions.length)
+    i = 0
+    val rvit = t.revisions.iterator
+    while (rvit.hasNext) {
+      val (n, c) = rvit.next()
+      val cE = law.cursor()
+      rvw.resetRowWriter()
+      rvw.write(0, UTF8String.fromString(n))
+      rvw.write(1, UTF8String.fromString(c))
+      law.setOffsetAndSizeFromPreviousCursor(i, cE)
+      i += 1
+    }
+    w.setOffsetAndSizeFromPreviousCursor(7, c7)
+    w.write(8, t.bytes)
+    w.getRow.copy()
+  }
+
   /** Column-API entry: `extract_turn($"text")` */
   def apply(c: Column): Column =
     Bridge.column(ExtractTurnExpr(Bridge.expression(c)))
@@ -235,7 +347,7 @@ case class ExtractTurnExpr(child: Expression) extends UnaryExpression with Codeg
   override def prettyName: String = "extract_turn"
 
   override protected def nullSafeEval(input: Any): Any =
-    ExtractTurn.toInternal(ExtractTurn.extract(input.asInstanceOf[UTF8String].toString))
+    ExtractTurn.toInternalUnsafe(ExtractTurn.extract(input.asInstanceOf[UTF8String].toString))
 
   override protected def withNewChildInternal(newChild: Expression): ExtractTurnExpr =
     copy(child = newChild)
