@@ -157,4 +157,53 @@ class SparkPipelineSpec extends AnyFunSuite {
       .filter(col("bucket") === 0).count())
     assert(c3.bytes > 0)
   }
+
+  test("concurrent extract drains in-flight buckets on failure; retry resumes cleanly") {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val sp = spark
+    val root = Files.createTempDirectory("graft_tbl_fail").toString
+    val out = Files.createTempDirectory("graft_out_fail").toString
+    val nBuckets = 8
+    TranscriptTable.write(Transcripts.synthesize(sp, 60, seed = 13L).toDF(),
+      root, nBuckets, snapshotId = 1L)
+
+    // corrupt one bucket's data files so its job throws mid-run
+    val badDir = Paths.get(root, "data", "bucket=2")
+    assume(Files.isDirectory(badDir), "bucket 2 empty for this seed")
+    val saved = Files.list(badDir).iterator.asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p -> Files.readAllBytes(p)).toVector
+    assert(saved.nonEmpty)
+    saved.foreach { case (p, _) => Files.write(p, "not a parquet file".getBytes) }
+
+    val err = intercept[Throwable] {
+      TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets, maxConcurrent = 4)
+    }
+    assert(err != null)
+    // the resume invariant from the round-3 advice item: by the time the
+    // failure propagates, NO straggler bucket job may still be writing the
+    // output tree — snapshot it, wait, snapshot again, must be identical
+    def snapshot(): Map[String, Long] =
+      Files.walk(Paths.get(out)).iterator.asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.size(p)).toMap
+    val s1 = snapshot()
+    Thread.sleep(1500)
+    val s2 = snapshot()
+    assert(s1 == s2, "output tree changed after extractWithCheckpoints threw " +
+      s"(straggler still writing): ${(s2.toSet -- s1.toSet).take(3)}")
+    assert(!TranscriptTable.committedBuckets(out).contains(2))
+
+    // restore the corrupted bucket; the documented retry flow must finish
+    // the remaining buckets and land the same totals as a fresh full run
+    saved.foreach { case (p, bytes) => Files.write(p, bytes) }
+    val resumed = TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets, maxConcurrent = 4)
+    assert(TranscriptTable.committedBuckets(out).size == nBuckets)
+    val fresh = TranscriptTable.extractWithCheckpoints(sp, root,
+      Files.createTempDirectory("graft_out_fresh").toString, nBuckets, maxConcurrent = 4)
+    assert(resumed.turns == fresh.turns && resumed.bytes == fresh.bytes,
+      s"resumed $resumed != fresh $fresh")
+    val _ = (err, s1)
+  }
 }
