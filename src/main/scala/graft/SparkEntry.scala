@@ -340,14 +340,25 @@ object SparkEntry {
       materialize(goldens, "q32_goldens")
       val transcripts = Transcripts.synthesizeDual(s, n, seed = 4242L).toDF()
       val lines = Pipeline.lines(Pipeline.extracted(transcripts))
-      val verd = Pipeline.verifyByHash(lines, goldens,
-        fields = Seq("kind", "text", "page_num", "given_page_num",
-          "column", "has_dual", "is_dual"))
-      val dualTurns = lines.groupBy(col("conv_id"), col("turn_idx"))
-        .agg(max(when(col("has_dual"), 1).otherwise(0)).as("hd"))
-      verd.join(dualTurns, Seq("conv_id", "turn_idx"), "left")
+      val dualFields = Seq("kind", "text", "page_num", "given_page_num",
+        "column", "has_dual", "is_dual")
+      def lh(df: DataFrame) =
+        xxhash64(col("line_idx") +: dualFields.map(col): _*)
+      // ONE pass over the extracted lines: the per-turn content digest
+      // (verifyByHash's shape, dual fields hashed in) and the extracted
+      // dual-flag bit come out of the same aggregation, so extract_turn
+      // appears exactly once in the plan (the audited invariant)
+      val a = lines.withColumn("lh", lh(lines))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(expr("bit_xor(lh)").as("h"), count(lit(1)).as("cnt"),
+          max(when(col("has_dual"), 1).otherwise(0)).as("hd"))
+      val b = goldens.withColumn("lh", lh(goldens))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(expr("bit_xor(lh)").as("g_h"), count(lit(1)).as("g_cnt"))
+      a.join(b, Seq("conv_id", "turn_idx"), "full_outer")
         .agg(count(lit(1)).as("n_turns"),
-          sum(col("turn_ok")).cast("bigint").as("n_turns_ok"),
+          sum(when(col("h") <=> col("g_h") && col("cnt") <=> col("g_cnt"), 1L)
+            .otherwise(0L)).cast("bigint").as("n_turns_ok"),
           coalesce(sum(col("hd")), lit(0)).cast("bigint").as("n_dual_turns"))
     }),
     "q33_revisions" -> ((s, dir) => {
@@ -362,23 +373,26 @@ object SparkEntry {
       val goldens = Transcripts.revGoldens(s, n, seed = 777L).toDF()
       materialize(goldens, "q33_goldens")
       val transcripts = Transcripts.synthesizeRev(s, n, seed = 777L).toDF()
-      val ex = Pipeline.extracted(transcripts)
-      val revs = ex.select(col("conv_id"), col("turn_idx"),
-          posexplode_outer(col("ex.revisions")).as(Seq("rank", "rev")))
-        .filter(col("rev").isNotNull)
-        .select(col("conv_id"), col("turn_idx"), col("rank"),
-          col("rev.name").as("name"), col("rev.color").as("color"))
-      val spans = ex.select(col("conv_id"), col("turn_idx"),
+      // ONE extraction pass: each line's revision spans resolve through
+      // the turn-level weight-ordered list (rank w -> ex.revisions[w]),
+      // carried alongside the exploded lines, so a mis-permuted weight
+      // list mis-names spans and reds the row. Every generated revision
+      // has >= 1 span by corpus construction (its key page has a colored
+      // Dialog), so span rows cover the whole expected list.
+      Pipeline.extracted(transcripts)
+        .select(col("conv_id"), col("turn_idx"), col("ex.revisions").as("revtab"),
           posexplode_outer(col("ex.lines")).as(Seq("line_idx", "line")))
         .filter(col("line").isNotNull)
-        .select(col("conv_id"), col("turn_idx"),
+        .select(col("conv_id"), col("turn_idx"), col("revtab"),
           explode_outer(col("line.revs")).as("rv"))
         .filter(col("rv").isNotNull)
-        .groupBy(col("conv_id"), col("turn_idx"), col("rv.weight").as("rank"))
+        .select(col("conv_id"), col("turn_idx"),
+          col("rv.weight").cast("bigint").as("rank"),
+          element_at(col("revtab"), col("rv.weight") + 1).as("rev"))
+        .groupBy(col("conv_id"), col("turn_idx"), col("rank"),
+          col("rev.name").as("name"), col("rev.color").as("color"))
         .agg(count(lit(1)).as("nsp"))
-      revs.join(spans, Seq("conv_id", "turn_idx", "rank"), "left")
-        .na.fill(0L, Seq("nsp"))
-        .groupBy(col("name"), col("color"), col("rank").cast("bigint").as("rank"))
+        .groupBy(col("name"), col("color"), col("rank"))
         .agg(count(lit(1)).as("n_turns"), sum(col("nsp")).cast("bigint").as("n_spans"))
         .orderBy(col("name"), col("color"), col("rank"))
     }),
