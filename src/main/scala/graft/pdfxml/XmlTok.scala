@@ -108,6 +108,17 @@ object XmlTok {
       val ps = pieces.head
       stack = stack.tail
       pieces = pieces.tail
+      // Structural containers: a PAGE's value would be the concatenation
+      // of every text value on the page (and PDF2XML's the whole
+      // document) — nothing downstream reads either, and assembling +
+      // propagating them re-copied the full document text ~2x per parse
+      // (the single largest byte[] source in the round-4 JFR profile).
+      // Their nodes still land in the tree with attrs/children intact.
+      if (node.tag == "PAGE" || node.tag == "PDF2XML") {
+        pool = ps :: pool
+        stack.head.addChild(node)
+        return
+      }
       // assemble value + child spans (code-point offsets; inclusive end)
       if (ps.len == 1 && ps.names(0).isEmpty) {
         node.value = ps.texts(0)
