@@ -120,9 +120,15 @@ final class TextParser(val colors: ColorsList, flags: DocFlags,
     lineObjects.zipWithIndex.foreach { case (lo, lx) =>
       val text = lo.text
       val tLen = Php.mbLen(text)
+      // code-point charAt without the per-char mbSubstr String (the
+      // space-skip scans below run once per character of every line);
+      // tLen == text.length iff the string is surrogate-free
+      val bmp = tLen == text.length
+      @inline def cpChar(idx: Int): Char =
+        if (bmp) text.charAt(idx) else text.charAt(text.offsetByCodePoints(0, idx))
       var i = 0
       var addedBlock = false
-      while (i != tLen && Php.mbSubstr(text, i, 1) == " ") i += 1
+      while (i != tLen && cpChar(i) == ' ') i += 1
       while (i != tLen) {
         var end = Php.mbStrpos(text, spaces12, i)
         if (end < 0) end = tLen
@@ -139,7 +145,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags,
           i += 12
           if (i > tLen) i = tLen
         }
-        while (i != tLen && Php.mbSubstr(text, i, 1) == " ") i += 1
+        while (i != tLen && cpChar(i) == ' ') i += 1
       }
       if (!addedBlock)
         blockPieces += new BlockPiece("", lo.x + i * 11, lx, 0,
