@@ -131,12 +131,24 @@ object Dedup {
     import sp.implicits._
 
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val bandFn = udf { (sig: Seq[Long]) => MinHash.bands(sig.toArray, rowsPerBand) }
+    // banding as pure built-ins: band b's bucket key is
+    // xxhash64(b, slice(sig, b*r+1, r)) — fully codegen'd, no
+    // per-corpus-row udf/Seq boxing (this runs once per corpus row, the
+    // hottest spot of the LSH path after the signature itself, which is
+    // already a native Expression). Identical band tuples hash equal by
+    // construction, so banding recall is untouched; the hash only
+    // chooses bucket keys (an FNV-style aggregate() fold is NOT usable
+    // here: its multiply overflows by design and ANSI mode, Spark 4's
+    // default, turns that into a runtime error).
+    val nBands = nHashes / rowsPerBand
+    val bandsCol = expr(
+      s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")
     // only (id, band) rows shuffle through the self-join; raw text joins
     // back on the (small) candidate pair set for exact verification
     val banded = texts
       .select($"id", TextOps.minhash($"text", k, nHashes).as("sig"))
-      .select($"id", posexplode(bandFn($"sig")).as(Seq("band_idx", "band_hash")))
+      .select($"id", posexplode(bandsCol).as(Seq("band_idx", "band_hash")))
     val (kept, hot) = capHotBuckets(banded, Seq("band_idx", "band_hash"), maxBucket, "minhash")
     if (hotBucketSink != null) hotBucketSink(hot)
 

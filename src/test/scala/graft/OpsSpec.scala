@@ -35,6 +35,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.filter($"doc_id" >= 5000).count() == 0) // canonical = min id
   }
 
+  test("built-in band keys: equal band tuples collide, position and content distinguish") {
+    val sp = spark
+    import sp.implicits._
+    val r = 4
+    val nBands = 16 / r
+    def bandsOf(sig: Seq[Long]): Vector[Long] =
+      sp.createDataFrame(Seq((1L, sig))).toDF("id", "sig")
+        .select(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b * $r + 1, $r)))").as("bands"))
+        .head().getSeq[Long](0).toVector
+    val base = (0 until 16).map(_.toLong + 100)
+    val b1 = bandsOf(base)
+    // determinism + per-band equality when one band's rows are shared
+    assert(bandsOf(base) == b1)
+    val sameFirstBand = base.take(r) ++ base.drop(r).map(_ + 1000)
+    val b2 = bandsOf(sameFirstBand)
+    assert(b2.head == b1.head, "identical band tuple must produce the identical key")
+    assert(b2.tail.zip(b1.tail).forall { case (x, y) => x != y },
+      "changed band tuples must produce different keys")
+    // band INDEX is part of the key: identical content in different bands
+    // must not collide into one bucket
+    val rep = bandsOf(Vector.fill(16)(7L))
+    assert(rep.distinct.size == rep.size, "band index must distinguish equal tuples")
+  }
+
   test("minhash LSH finds near-duplicates and estimates jaccard") {
     val sp = spark
     import sp.implicits._
