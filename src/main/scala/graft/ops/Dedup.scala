@@ -196,11 +196,11 @@ object Dedup {
     if (hotBucketSink != null) hotBucketSink(hot)
     val a = chunked.select($"chunk_idx", $"chunk", $"id".as("id_a"), $"fp".as("fp_a"))
     val b = chunked.select($"chunk_idx", $"chunk", $"id".as("id_b"), $"fp".as("fp_b"))
-    val ham = udf { (x: Long, y: Long) => SimHash.hamming(x, y) }
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter($"id_a" < $"id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", ham($"fp_a", $"fp_b"))
+      // hamming distance as built-ins (codegen'd), same as SimHash.hamming
+      .withColumn("hamming", bit_count($"fp_a".bitwiseXOR($"fp_b")))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
   }
