@@ -11,7 +11,15 @@ class FuzzSpec extends AnyFunSuite {
 
   private val seedDocs: Vector[String] = Vector(
     graft.synth.ScreenplayGen.render(graft.synth.ScreenplayGen.elements(1L, 3)).xml,
-    graft.synth.ShakespeareGen.generate(2L, 2, "Fuzz Play").html)
+    graft.synth.ShakespeareGen.generate(2L, 2, "Fuzz Play").html,
+    // round-4 corpora: mangled variants must also drive the dual-dialog
+    // recovery and the colored-revision weight machinery
+    graft.synth.ScreenplayGen.render(
+      graft.synth.ScreenplayGen.elementsWithDual(3L, 4)).xml,
+    graft.synth.ScreenplayGen.render(
+      graft.synth.ScreenplayGen.elements(4L, 8),
+      graft.synth.ScreenplayGen.Options(
+        revisions = graft.spark.Transcripts.revPalette)).xml)
 
   test("extract never throws on mangled inputs") {
     // default 3000 cases; GRAFT_FUZZ_N widens for soak runs
