@@ -177,6 +177,27 @@ object Layout {
     */
   private final case class F(key: Int, node: XNode, value: String)
 
+  /** one y-clustered line's fragments as parallel arrays (see the
+    * linesInPage comment in processPage)
+    */
+  private final class FragLine {
+    var keys = new Array[Int](4)
+    var nodes = new Array[XNode](4)
+    var len = 0
+    def contains(k: Int): Boolean = {
+      var i = 0
+      while (i < len) { if (keys(i) == k) return true; i += 1 }
+      false
+    }
+    def add(k: Int, n: XNode): Unit = {
+      if (len == keys.length) {
+        keys = java.util.Arrays.copyOf(keys, len * 2)
+        nodes = java.util.Arrays.copyOf(nodes, len * 2)
+      }
+      keys(len) = k; nodes(len) = n; len += 1
+    }
+  }
+
   /** processPageXmlObject (ParseText.php:266-591). Appends this page's
     * lines to `out.lineObjects` and fills the page's header/footer frags.
     */
@@ -188,8 +209,13 @@ object Layout {
       dirtyPageNum: Int,
       flags: DocFlags): Unit = {
 
-    // y-cluster: top -> (left-key -> frag), both insertion-ordered
-    val linesInPage = mutable.LinkedHashMap.empty[Int, mutable.LinkedHashMap[Int, XNode]]
+    // y-cluster: top -> (left-key -> frag), both insertion-ordered. The
+    // inner per-line structure is a compact parallel-array list (typical
+    // lines hold 1-2 fragments; one LinkedHashMap + its entry table per
+    // line was a top residual allocation source in the round-4 JFR
+    // profile). Linear contains() preserves the collision-probe
+    // semantics; insertion order is positional.
+    val linesInPage = mutable.LinkedHashMap.empty[Int, FragLine]
     // unboxed membership mirror of linesInPage.keySet: the ±4 snap probes
     // 9 candidate tops per fragment, and LinkedHashMap.contains(Int) boxes
     // an Integer per probe (~5% of per-doc allocation, round-4 JFR)
@@ -219,9 +245,9 @@ object Layout {
               off += 1
             }
             if (top >= 0) topSeen.set(top)
-            val line = linesInPage.getOrElseUpdate(top, mutable.LinkedHashMap.empty)
+            val line = linesInPage.getOrElseUpdate(top, new FragLine)
             while (line.contains(leftKey)) leftKey += 1 // collision probe (:306-310)
-            line(leftKey) = child
+            line.add(leftKey, child)
           }
         case "FONTSPEC" =>
           fontObjects += child
@@ -244,9 +270,17 @@ object Layout {
 
     // iterate tops ascending (ksort, ParseText.php:350); inner maps stay
     // in insertion order for the banding passes
-    linesInPage.toSeq.sortBy(_._1).foreach { case (top, lineMap0) =>
-      var frags: ArrayBuffer[F] =
-        ArrayBuffer.from(lineMap0.iterator.map { case (k, f) => F(k, f, f.value) })
+    linesInPage.toSeq.sortBy(_._1).foreach { case (top, lineFrags) =>
+      var frags: ArrayBuffer[F] = {
+        val b = new ArrayBuffer[F](lineFrags.len)
+        var fi = 0
+        while (fi < lineFrags.len) {
+          val nd = lineFrags.nodes(fi)
+          b += F(lineFrags.keys(fi), nd, nd.value)
+          fi += 1
+        }
+        b
+      }
 
       // CONTINUED header strip (ParseText.php:369-386)
       if (top <= Consts.Inch / 2 + 14) {
