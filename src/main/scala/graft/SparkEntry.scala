@@ -396,6 +396,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_turns"), sum(col("nsp")).cast("bigint").as("n_spans"))
         .orderBy(col("name"), col("color"), col("rank"))
     }),
+    "q34_line_number_vote" -> ((s, dir) => {
+      // A5 driver attestation: margin-numbered corpus. The engine must
+      // strip every margin token into the number object (F5) and elect
+      // the per-type sides (Parser.php:193-237); the turn-level
+      // line_number_sides table is exploded and counted per
+      // (type, left, right) against the generator's independently
+      // computed vote expectation. Content integrity under the margin
+      // tokens is pinned by LineNumberVoteSpec; a wrong capture or vote
+      // here is a red row.
+      val n = math.min(nConvsFor(dir), 200L)
+      val goldens = Transcripts.numberedGoldens(s, n, seed = 555L).toDF()
+      materialize(goldens, "q34_goldens")
+      val transcripts = Transcripts.synthesizeNumbered(s, n, seed = 555L).toDF()
+      Pipeline.extracted(transcripts)
+        .select(col("conv_id"), col("turn_idx"),
+          explode_outer(col("ex.line_number_sides")).as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v.type").as("type"),
+          col("v.left").as("side_left"), col("v.right").as("side_right"))
+        .agg(count(lit(1)).as("n_turns"))
+        .orderBy(col("type"), col("side_left"), col("side_right"))
+    }),
     "q19_char_rank" -> ((s, dir) => {
       val n = nConvsFor(dir)
       materialize(Transcripts.goldens(s, n, seed = 42L).toDF(), "q19_goldens")
@@ -765,6 +787,11 @@ object SparkEntry {
         | COUNT(*) AS n_turns, CAST(SUM(n_spans) AS BIGINT) AS n_spans
         | FROM read_parquet('{MAT}/q33_goldens/*.parquet')
         | GROUP BY name, color, rank ORDER BY name, color, rank""".stripMargin.replace("\n", ""),
+    "q34_line_number_vote" ->
+      """SELECT type, side_left, side_right, COUNT(*) AS n_turns
+        | FROM read_parquet('{MAT}/q34_goldens/*.parquet')
+        | GROUP BY type, side_left, side_right
+        | ORDER BY type, side_left, side_right""".stripMargin.replace("\n", ""),
     "q32_dual_verify" ->
       // every turn must verify (hash includes column/has_dual/is_dual);
       // n_dual_turns recomputed from the golden has_dual flags must match

@@ -4,7 +4,12 @@ import graft.spark.{ExtractTurn, Transcripts}
 object AllocProbe {
   def main(a: Array[String]): Unit = {
     val docs = (0L until 400L).flatMap(k => Transcripts.turnsFor(42L, k, 8, 1000, 20).map(_._1))
-      .filter(t => t.tool == "pdftohtml" || t.tool == "shakespeare").map(_.text)
+      .filter(t => t.tool == "pdftohtml" || t.tool == "shakespeare").map(_.text) ++
+      // corpora exercising the optional struct fields in the equivalence
+      // check: dual flags, revision tables, line-number vote rows
+      (0L until 10L).flatMap(k => Transcripts.dualTurnsFor(4242L, k, 4).map(_._1.text)) ++
+      (0L until 10L).flatMap(k => Transcripts.revTurnsFor(777L, k, 4).map(_._1.text)) ++
+      (0L until 10L).flatMap(k => Transcripts.numberedTurnsFor(555L, k, 4).map(_._1.text))
     System.err.println(s"${docs.size} docs")
     val tmx = java.lang.management.ManagementFactory.getThreadMXBean
       .asInstanceOf[com.sun.management.ThreadMXBean]

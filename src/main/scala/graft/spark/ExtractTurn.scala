@@ -29,7 +29,10 @@ final case class ExtractedTurn(
     sceneContinuedBottom: Boolean,
     sceneContinuedNumber: Boolean,
     revisions: Seq[(String, String)],
-    bytes: Int)
+    bytes: Int,
+    /** A5 line-number side vote (Parser.php:193-237): per JSON type that
+      * won a side, (type, left, right), sorted by type */
+    lineNumberSides: Seq[(String, Boolean, Boolean)] = Nil)
 
 /** `extract_turn(text)` — the whole per-turn extraction pipeline
   * (tokenize -> layout -> classify -> aggregate; SURVEY.md §2.12) as one
@@ -77,7 +80,11 @@ object ExtractTurn {
     StructField("revisions", ArrayType(StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("color", StringType, nullable = false))), containsNull = false), nullable = false),
-    StructField("bytes", IntegerType, nullable = false)
+    StructField("bytes", IntegerType, nullable = false),
+    StructField("line_number_sides", ArrayType(StructType(Seq(
+      StructField("type", StringType, nullable = false),
+      StructField("left", BooleanType, nullable = false),
+      StructField("right", BooleanType, nullable = false))), containsNull = false), nullable = false)
   ))
 
   /** payload sniffing: the transcript `text` column carries either
@@ -149,7 +156,8 @@ object ExtractTurn {
         }
         ExtractedTurn(format, lines, r.pageSize, r.numPages,
           r.sceneContinuedTop, r.sceneContinuedBottom, r.sceneContinuedNumber,
-          r.revisions.map(rev => (rev.name, rev.color)), text.length)
+          r.revisions.map(rev => (rev.name, rev.color)), text.length,
+          r.lineNumbers.toSeq.sortBy(_._1).map { case (t, (l, rt)) => (t, l, rt) })
       case _ =>
         ExtractedTurn(format, Seq.empty, "Letter", 0,
           sceneContinuedTop = false, sceneContinuedBottom = false,
@@ -216,7 +224,10 @@ object ExtractTurn {
       if (t.revisions.isEmpty) emptyArray
       else new GenericArrayData(t.revisions.map { case (n, c) =>
         InternalRow(UTF8String.fromString(n), UTF8String.fromString(c)) }.toArray[Any]),
-      t.bytes)
+      t.bytes,
+      if (t.lineNumberSides.isEmpty) emptyArray
+      else new GenericArrayData(t.lineNumberSides.map { case (tp, l, rr) =>
+        InternalRow(UTF8String.fromString(tp), l, rr) }.toArray[Any]))
   }
 
   /** Direct UnsafeRow emission for the extraction output — the round-4
@@ -235,7 +246,7 @@ object ExtractTurn {
     */
   private val rowWriterTL = new ThreadLocal[org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter] {
     override def initialValue() =
-      new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(9, 1 << 15)
+      new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(10, 1 << 15)
   }
 
   private[spark] def toInternalUnsafe(t: ExtractedTurn): InternalRow = {
@@ -328,6 +339,22 @@ object ExtractTurn {
     }
     w.setOffsetAndSizeFromPreviousCursor(7, c7)
     w.write(8, t.bytes)
+    val c9 = w.cursor()
+    val lnw = new UnsafeRowWriter(law, 3)
+    law.initialize(t.lineNumberSides.length)
+    i = 0
+    val lnit = t.lineNumberSides.iterator
+    while (lnit.hasNext) {
+      val (tp, l, rr) = lnit.next()
+      val cE = law.cursor()
+      lnw.resetRowWriter()
+      lnw.write(0, UTF8String.fromString(tp))
+      lnw.write(1, l)
+      lnw.write(2, rr)
+      law.setOffsetAndSizeFromPreviousCursor(i, cE)
+      i += 1
+    }
+    w.setOffsetAndSizeFromPreviousCursor(9, c9)
     w.getRow.copy()
   }
 

@@ -37,6 +37,13 @@ final case class RevGoldenLine(
     conv_id: String, turn_idx: Int, rank: Long,
     name: String, color: String, n_spans: Long)
 
+/** One expected line-number side-vote row per turn of the margin-numbered
+  * corpus (A5 attestation): the JSON types that won a side and which.
+  */
+final case class VoteGoldenLine(
+    conv_id: String, turn_idx: Int, `type`: String,
+    side_left: Boolean, side_right: Boolean)
+
 /** Deterministic synthetic multi-turn transcript corpus: each assistant
   * turn's payload is a document (pdftohtml-style XML or Shakespeare-style
   * HTML, ~50/50), other turns carry small plain-text payloads. Generation
@@ -231,5 +238,52 @@ object Transcripts {
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     spark.range(0, nConvs, 1, par)
       .flatMap(k => revTurnsFor(seed, k, avgTurns).flatMap(_._2))
+  }
+
+  // ---- margin-numbered corpus (A5 driver attestation) --------------------
+
+  /** Deterministic turns for one margin-numbered conversation: every
+    * assistant doc carries a line-number token beside each body line and
+    * the goldens carry the expected per-type side-vote table.
+    */
+  def numberedTurnsFor(seed: Long, k: Long, avgTurns: Int): Seq[(Turn, Seq[VoteGoldenLine])] = {
+    val r = new java.util.SplittableRandom(seed * 5000011L + k)
+    val id = f"num-$seed%x-$k%08d"
+    val nTurns = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
+    (0 until nTurns).map { ti =>
+      val role = if (ti % 2 == 0) "user" else "assistant"
+      val ts = new Timestamp(epochMs + k * 3600000L + ti * 60000L)
+      if (role == "assistant") {
+        val docSeed = seed ^ (k * 904997L + ti)
+        val doc = ScreenplayGen.render(
+          ScreenplayGen.elements(docSeed, 2 + r.nextInt(4)),
+          ScreenplayGen.Options(marginLineNumbers = true))
+        val goldens = doc.voteExpected.map { case (tp, l, rr) =>
+          VoteGoldenLine(id, ti, tp, l, rr)
+        }
+        (Turn(id, ti, role, doc.xml, "pdftohtml", ts), goldens)
+      } else {
+        val text = s"numbered turn $ti of $id: " + ("amet " * (1 + r.nextInt(6))).trim
+        (Turn(id, ti, role, text, "", ts), Seq.empty[VoteGoldenLine])
+      }
+    }
+  }
+
+  /** Distributed synthesis of the margin-numbered corpus. */
+  def synthesizeNumbered(spark: SparkSession, nConvs: Long, seed: Long = 555L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => numberedTurnsFor(seed, k, avgTurns).map(_._1))
+  }
+
+  /** Goldens side of the margin-numbered corpus. */
+  def numberedGoldens(spark: SparkSession, nConvs: Long, seed: Long = 555L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[VoteGoldenLine] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => numberedTurnsFor(seed, k, avgTurns).flatMap(_._2))
   }
 }

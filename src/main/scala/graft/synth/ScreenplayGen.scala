@@ -34,7 +34,11 @@ object ScreenplayGen {
 
   final case class Doc(xml: String, expected: Vector[(String, String, Int, String)],
       dualMeta: Vector[(Int, Boolean, Boolean)] = Vector.empty,
-      revExpected: Vector[(Long, String, String, Long)] = Vector.empty)
+      revExpected: Vector[(Long, String, String, Long)] = Vector.empty,
+      /** A5 expectation (marginLineNumbers mode): the line-number side
+        * vote table the engine must produce — (json type, left, right)
+        * for each type where a side wins, sorted by type */
+      voteExpected: Vector[(String, Boolean, Boolean)] = Vector.empty)
   // expected tuples: (kind, text, pageNum, givenPageNum)
   // dualMeta (aligned 1:1 with expected when non-empty): the
   // (column, has_dual, is_dual) the engine's WriteOutput-style column
@@ -134,7 +138,15 @@ object ScreenplayGen {
         * [[Doc.revExpected]] from the render-time page log via an
         * independent simulation of Parser.php:239-486's weight dynamics.
         */
-      revisions: Vector[(String, String)] = Vector.empty)
+      revisions: Vector[(String, String)] = Vector.empty,
+      /** A5 corpus mode: emit a margin line-number token (left=36,
+        * < 7 chars) beside every body line — the reference's left
+        * line-number capture (ParseText.php:492-497) strips it into the
+        * number object and the per-type side vote (Parser.php:193-237)
+        * must then elect "left" for every type whose objects are mostly
+        * non-blank. [[Doc.voteExpected]] carries the expected table.
+        */
+      marginLineNumbers: Boolean = false)
 
   /** Render elements to pdftohtml-style XML and derive the expected
     * extraction output.
@@ -185,7 +197,12 @@ object ScreenplayGen {
     def closePage(): Unit = xml.append("</page>\n")
 
     val jitterRnd = new java.util.SplittableRandom(0x5eed)
+    var marginNumCounter = 0
     def textLine(top: Int, left: Int, s: String, font: Int = 0): Unit = {
+      if (opts.marginLineNumbers && pageNo > 1) {
+        marginNumCounter += 1
+        xml.append(s"""\t<text top="$top" left="36" width="${marginNumCounter.toString.length * charW}" height="$lineH" font="0">$marginNumCounter</text>\n""")
+      }
       // split at a single-space word boundary roughly mid-line; the two
       // fragments abut exactly (gap < 7px adds 0 spaces; the space char
       // stays at the end of the first fragment so content is identical)
@@ -409,9 +426,27 @@ object ScreenplayGen {
         }.toVector
       }
 
+    // A5 expectation: replicate the per-type side vote over the expected
+    // object stream — an object is left-numbered iff it is a non-blank
+    // body-page object (every drawn body line carries a margin token);
+    // a side wins a type iff count/2 < sideCount (Parser.php:219-231)
+    val voteExpected: Vector[(String, Boolean, Boolean)] =
+      if (!opts.marginLineNumbers) Vector.empty
+      else {
+        val counts = mutable.LinkedHashMap.empty[String, (Int, Int)]
+        expected.foreach { case (kind, text, page, _) =>
+          val tp = graft.model.ScriptLine.typeJson(kind)
+          val (c, l) = counts.getOrElse(tp, (0, 0))
+          counts(tp) = (c + 1, l + (if (text.nonEmpty && page >= 2) 1 else 0))
+        }
+        counts.iterator.collect {
+          case (tp, (c, l)) if c / 2 < l => (tp, true, false)
+        }.toVector.sortBy(_._1)
+      }
+
     Doc(xml.toString, expected.toVector,
       Vector.tabulate(expected.length)(i => dualAt.getOrElse(i, (0, false, false))),
-      revExpected)
+      revExpected, voteExpected)
   }
 
   /** blank lines the engine synthesizes between lastTopOffset and top
