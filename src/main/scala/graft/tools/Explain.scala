@@ -56,6 +56,7 @@ object Explain {
       execute = true)
     show("q32_dual_verify", SparkEntry.queries("q32_dual_verify")(spark, sfDir))
     show("q33_revisions", SparkEntry.queries("q33_revisions")(spark, sfDir))
+    show("q34_line_number_vote", SparkEntry.queries("q34_line_number_vote")(spark, sfDir))
     spark.stop()
   }
 }
