@@ -10,6 +10,10 @@ import scala.collection.mutable.ArrayBuffer
 object Consts {
   val Inch = 72
   val MaxOffsetSameLine = 4
+  /** Upper bound for the BitSet fast-path in the y-snap: a TOP beyond this
+    * (no real pdftohtml page is 64k px tall) routes to the O(1)-memory map
+    * lookup instead of growing the BitSet to O(top) words. */
+  val MaxSaneTop = 1 << 16
   val FontConversionRate: Double = 4.0 / 3.0
   val DefaultCharWidth = 7
   /** watermark strings dropped from headers/footers (ParseText.php:8-10) */
@@ -238,13 +242,17 @@ object Layout {
             var snapped = false
             while (!snapped && off <= Consts.MaxOffsetSameLine) {
               val cand = top + off
-              // negative tops (pathological input) fall back to the boxed
-              // lookup so snap semantics stay exactly faithful
-              val hit = if (cand >= 0) topSeen.get(cand) else linesInPage.contains(cand)
+              // out-of-range tops (pathological input: negative, or absurdly
+              // large from a malformed TOP attr — BitSet.set would allocate
+              // O(top) words) fall back to the boxed lookup so snap
+              // semantics stay exactly faithful at O(1) memory
+              val hit =
+                if (cand >= 0 && cand < Consts.MaxSaneTop) topSeen.get(cand)
+                else linesInPage.contains(cand)
               if (hit) { top = cand; snapped = true }
               off += 1
             }
-            if (top >= 0) topSeen.set(top)
+            if (top >= 0 && top < Consts.MaxSaneTop) topSeen.set(top)
             val line = linesInPage.getOrElseUpdate(top, new FragLine)
             while (line.contains(leftKey)) leftKey += 1 // collision probe (:306-310)
             line.add(leftKey, child)

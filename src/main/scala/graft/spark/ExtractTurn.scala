@@ -248,6 +248,9 @@ object ExtractTurn {
     override def initialValue() =
       new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(10, 1 << 15)
   }
+  /** Buffers grown past this (4 MiB) are dropped after the encode rather
+    * than retained per thread. */
+  private[spark] val MaxRetainedWriterBuffer = 1 << 22
 
   private[spark] def toInternalUnsafe(t: ExtractedTurn): InternalRow = {
     import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
@@ -355,7 +358,13 @@ object ExtractTurn {
       i += 1
     }
     w.setOffsetAndSizeFromPreviousCursor(9, c9)
-    w.getRow.copy()
+    val out = w.getRow.copy()
+    // the thread-local writer's buffer grows to the largest turn ever
+    // encoded on this thread and would otherwise be pinned for the
+    // executor thread's lifetime; after a rare giant turn, drop it so the
+    // next call re-creates a right-sized writer (ADVICE r4)
+    if (w.getBuffer.length > MaxRetainedWriterBuffer) rowWriterTL.remove()
+    out
   }
 
   /** Column-API entry: `extract_turn($"text")` */
