@@ -27,15 +27,56 @@ object Bench {
     .getOrCreate()
 
   final case class ExtractionBench(turns: Long, medianSecs: Double,
-      runSecs: Seq[Double], extractOnlySecs: Double, mismatches: Long)
+      runSecs: Seq[Double], warmSecs: Seq[Double], gcMs: Seq[Long],
+      ioProbeMbS: Double, extractOnlySecs: Seq[Double], mismatches: Long) {
+    def minSecs: Double = runSecs.min
+    def extractOnlyMedian: Double =
+      extractOnlySecs.sorted.apply(extractOnlySecs.length / 2)
+  }
+
+  /** Total stop-the-world GC time so far, summed across collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** Sequential read of the benchmark's own parquet files (capped at
+    * 256 MiB), returning MB/s. The pure-CPU calibration burn is blind to
+    * IO contention (BENCH_r04's pristine block read 7x slow on an
+    * idle-CPU window); a slow probe here labels a storage/page-cache
+    * -contended window in the artifact itself.
+    */
+  private def ioProbe(dir: String): Double = {
+    val buf = new Array[Byte](1 << 20)
+    var bytes = 0L
+    val t0 = System.nanoTime()
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).iterator()
+    var sink = 0
+    while (files.hasNext && bytes < (256L << 20)) {
+      val in = java.nio.file.Files.newInputStream(files.next())
+      try {
+        var n = in.read(buf)
+        while (n > 0 && bytes < (256L << 20)) { bytes += n; sink ^= buf(0); n = in.read(buf) }
+      } finally in.close()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (sink == Int.MinValue) println("") // defeat DCE
+    if (secs > 0) bytes / secs / 1e6 else 0.0
+  }
 
   /** extraction benchmark. Input and goldens are materialized to parquet
-    * first (untimed) so the measured job is the real workload. Protocol:
-    * TWO warm-ups (in a pristine JVM one warm-up leaves ~1.5s of kernel
-    * JIT arriving mid-measurement: run_secs 3.7/3.7/2.1 at sf0.1), then
-    * THREE timed runs, median reported (shared-host noise is ±25-30%;
-    * a single sample regularly lands outside the envelope —
-    * BENCH/BASELINE.md). Also times the extraction-only job
+    * first (untimed) so the measured job is the real workload. Protocol
+    * (round 5 — three straight rounds of misleading fixed-warm-up
+    * artifacts ended here): warm up until two CONSECUTIVE runs agree
+    * within 20% (bounded at 6 attempts; a fixed two warm-ups left late
+    * JIT arriving mid-measurement — BENCH_r04 run_secs 31.5/10.9/2.3),
+    * then THREE timed runs with per-run GC-pause millis recorded, median
+    * AND min reported (shared-host noise is ±25-30%). The warm-up
+    * trajectory, GC millis and an IO read-probe all land in the JSON so
+    * a contended window self-explains which resource was hit instead of
+    * requiring a re-run adjudication. Also times the extraction-only job
     * (scan -> extract_turn -> count, no verification) so the two
     * throughput figures BASELINE.md quotes stay separately reproducible.
     */
@@ -61,8 +102,25 @@ object Bench {
       val a = f()
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    job(); job() // warm-ups (see protocol note above)
-    val runs = (0 until 3).map(_ => timed(job))
+    def warmUntilStable(f: () => Any): Seq[Double] = {
+      val warm = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var stable = false
+      while (!stable && warm.length < 6) {
+        warm += timed(f)._2
+        stable = warm.length >= 2 && {
+          val a = warm(warm.length - 2); val b = warm.last
+          math.abs(a - b) / math.min(a, b) <= 0.20
+        }
+      }
+      warm.toSeq
+    }
+    val ioMbS = ioProbe(s"$dir/transcripts")
+    val warm = warmUntilStable(() => job())
+    val runs = (0 until 3).map { _ =>
+      val g0 = gcMillis()
+      val (a, s) = timed(job)
+      (a, s, gcMillis() - g0)
+    }
     val (turns, mismatches) = runs.head._1
     val secs = runs.map(_._2)
     val median = secs.sorted.apply(secs.length / 2)
@@ -71,10 +129,10 @@ object Bench {
     def exOnlyJob(): Long =
       Pipeline.lines(Pipeline.extracted(spark.read.parquet(s"$dir/transcripts")))
         .agg(count(lit(1))).head().getLong(0)
-    exOnlyJob(); exOnlyJob()
+    warmUntilStable(() => exOnlyJob())
     val exOnlySecs = (0 until 3).map(_ => timed(exOnlyJob)._2)
-    ExtractionBench(turns, median, secs,
-      exOnlySecs.sorted.apply(exOnlySecs.length / 2), mismatches)
+    ExtractionBench(turns, median, secs, warm, runs.map(_._3),
+      ioMbS, exOnlySecs, mismatches)
   }
 
   /** Pure-CPU calibration burn: a fixed xorshift loop on `threads`
@@ -113,13 +171,22 @@ object Bench {
 
   private def extractionJson(ex: ExtractionBench): String = {
     val turnsPerSec = if (ex.medianSecs > 0) ex.turns / ex.medianSecs else 0.0
-    val exOnlyPerSec = if (ex.extractOnlySecs > 0) ex.turns / ex.extractOnlySecs else 0.0
+    val turnsPerSecMin = if (ex.minSecs > 0) ex.turns / ex.minSecs else 0.0
+    val exOnlyMedian = ex.extractOnlyMedian
+    val exOnlyPerSec = if (exOnlyMedian > 0) ex.turns / exOnlyMedian else 0.0
+    val exOnlyBest = ex.extractOnlySecs.min
+    val exOnlyPerSecBest = if (exOnlyBest > 0) ex.turns / exOnlyBest else 0.0
     val j = new StringBuilder
     j ++= "{\"turns\":" ++= ex.turns.toString
     j ++= ",\"seconds\":" ++= f"${ex.medianSecs}%.3f"
     j ++= ",\"turns_per_sec\":" ++= f"$turnsPerSec%.1f"
+    j ++= ",\"turns_per_sec_best\":" ++= f"$turnsPerSecMin%.1f"
     j ++= ",\"run_secs\":" ++= ex.runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    j ++= ",\"warm_secs\":" ++= ex.warmSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    j ++= ",\"gc_ms\":" ++= ex.gcMs.mkString("[", ",", "]")
+    j ++= ",\"io_probe_mb_s\":" ++= f"${ex.ioProbeMbS}%.0f"
     j ++= ",\"extract_only_turns_per_sec\":" ++= f"$exOnlyPerSec%.1f"
+    j ++= ",\"extract_only_turns_per_sec_best\":" ++= f"$exOnlyPerSecBest%.1f"
     j ++= ",\"mismatches\":" ++= ex.mismatches.toString ++= "}"
     j.toString
   }
@@ -155,7 +222,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + ex.runSecs.sum + ex.extractOnlySecs
+    val total = results.map(_._2).sum + ex.runSecs.sum + ex.extractOnlySecs.sum
     val json = new StringBuilder
     json ++= "{\"metric\":\"total\",\"value\":" ++= f"$total%.3f"
     json ++= ",\"unit\":\"sec\",\"queries\":" ++= qs
