@@ -38,7 +38,17 @@ object ScreenplayGen {
       /** A5 expectation (marginLineNumbers mode): the line-number side
         * vote table the engine must produce — (json type, left, right)
         * for each type where a side wins, sorted by type */
-      voteExpected: Vector[(String, Boolean, Boolean)] = Vector.empty)
+      voteExpected: Vector[(String, Boolean, Boolean)] = Vector.empty,
+      /** revision-mode per-line expectation, aligned 1:1 with expected:
+        * the canonical rendering of each line's revision spans —
+        * "w:s-e|w:s-e" sorted by (w, s), "" when the line has none. w is
+        * the revision's weight (= index into the final revisions list),
+        * s/e the span's code-point [start, end) in the object text. */
+      lineRevsExpected: Vector[String] = Vector.empty,
+      /** continuedBands-mode expectation: the turn-level
+        * (scene_continued_top, scene_continued_bottom,
+        * scene_continued_number) flag triple. */
+      contExpected: (Boolean, Boolean, Boolean) = (false, false, false))
   // expected tuples: (kind, text, pageNum, givenPageNum)
   // dualMeta (aligned 1:1 with expected when non-empty): the
   // (column, has_dual, is_dual) the engine's WriteOutput-style column
@@ -146,7 +156,29 @@ object ScreenplayGen {
         * must then elect "left" for every type whose objects are mostly
         * non-blank. [[Doc.voteExpected]] carries the expected table.
         */
-      marginLineNumbers: Boolean = false)
+      marginLineNumbers: Boolean = false,
+      /** C7 corpus mode: a scene-number token ("N", left=70) beside every
+        * body slugline. x=70 escapes the left margin capture (< 65,
+        * ParseText.php:492-497) and the small gap to the slug at x=108
+        * (< 12 spaces) merges it INTO the slugline piece, where the
+        * leading-token strip must remove it (ParseText.php:1317-1326 +
+        * slug classification) — expected slug text is unchanged.
+        */
+      sceneNumbers: Boolean = false,
+      /** F6 corpus mode: every third Character heading is drawn with a
+        * " (CONT'D)" suffix; the whiteout (ParseText.php:1014-1053) must
+        * erase it so the expected Character text is the bare name.
+        */
+      contdMarkers: Boolean = false,
+      /** F2 corpus mode: body pages carry a "CONTINUED:" token in the
+        * header band (top=36 <= inch/2+14) — numbered "CONTINUED: (p)"
+        * on even body pages — and a "(CONTINUED)" token in the footer
+        * band (top=1150 > pageH-inch/2-29). Both must be stripped with
+        * the scene_continued flags set (ParseText.php:369-398);
+        * [[Doc.contExpected]] carries the expected (top, bottom, number)
+        * flag triple.
+        */
+      continuedBands: Boolean = false)
 
   /** Render elements to pdftohtml-style XML and derive the expected
     * extraction output.
@@ -165,6 +197,17 @@ object ScreenplayGen {
     // expected-index -> (column, has_dual, is_dual) for dual splice rows;
     // every unlisted index is (0, false, false)
     val dualAt = scala.collection.mutable.Map.empty[Int, (Int, Boolean, Boolean)]
+    // expected-index -> colored spans (palette revId, start, endExcl) in
+    // the object's joined text; resolved to weights once the final
+    // revision list is known
+    val lineRevs = scala.collection.mutable.Map.empty[Int, Vector[(Int, Int, Int)]]
+    var sceneCounter = 0
+    var chrCounter = 0
+    /** spans of a colored multi-line piece in its space-joined object text */
+    def spansOf(ls: Vector[String], revId: Int): Vector[(Int, Int, Int)] = {
+      var off = 0
+      ls.map { l => val sp = (revId, off, off + l.length); off += l.length + 1; sp }
+    }
 
     var pageNo = 0 // printed page number
     var bodyPageCount = 0
@@ -182,8 +225,12 @@ object ScreenplayGen {
     val revPageLog = ArrayBuffer.empty[(String, ArrayBuffer[Int])]
     val revSpans = mutable.Map.empty[Int, Long]
 
+    var lastMarginTop = -1 // one margin token per rendered row (dual rows draw twice)
+    var contTop = false; var contBottom = false; var contNum = false
+
     def openPage(hdrText: String = opts.headerText): Unit = {
       pageNo += 1
+      lastMarginTop = -1
       xml.append(s"""<page number="$pageNo" position="absolute" top="0" left="0" height="$pageH" width="$pageW">\n""")
       xml.append(s"""\t<fontspec id="0" size="12" family="Courier" color="#000000"/>\n""")
       revPalette.zipWithIndex.foreach { case ((_, hex), i) =>
@@ -191,16 +238,34 @@ object ScreenplayGen {
       }
       if (hdrText.nonEmpty && pageNo > 1)
         xml.append(s"""\t<text top="36" left="$xSlug" width="${hdrText.length * charW}" height="$lineH" font="0">${esc(hdrText)}</text>\n""")
+      if (opts.continuedBands && pageNo > 1) {
+        // header-band CONTINUED token (strip band: top <= inch/2 + 14,
+        // ParseText.php:369-386); even pages use the numbered form so the
+        // scene_continued_number flag path is exercised
+        val t = if (pageNo % 2 == 0) s"CONTINUED: ($pageNo)" else "CONTINUED:"
+        xml.append(s"""\t<text top="36" left="500" width="${t.length * charW}" height="$lineH" font="0">${esc(t)}</text>\n""")
+        contTop = true
+        if (pageNo % 2 == 0) contNum = true
+      }
       if (opts.pageNumbers && pageNo > 1)
         xml.append(s"""\t<text top="36" left="810" width="${(pageNo.toString + ".").length * charW}" height="$lineH" font="0">$pageNo.</text>\n""")
     }
-    def closePage(): Unit = xml.append("</page>\n")
+    def closePage(): Unit = {
+      if (opts.continuedBands && pageNo > 1) {
+        // footer-band (CONTINUED) token (strip band: top > pageH - inch/2
+        // - 29, ParseText.php:388-398)
+        xml.append(s"""\t<text top="1150" left="400" width="${11 * charW}" height="$lineH" font="0">(CONTINUED)</text>\n""")
+        contBottom = true
+      }
+      xml.append("</page>\n")
+    }
 
     val jitterRnd = new java.util.SplittableRandom(0x5eed)
     var marginNumCounter = 0
     def textLine(top: Int, left: Int, s: String, font: Int = 0): Unit = {
-      if (opts.marginLineNumbers && pageNo > 1) {
+      if (opts.marginLineNumbers && pageNo > 1 && top != lastMarginTop) {
         marginNumCounter += 1
+        lastMarginTop = top
         xml.append(s"""\t<text top="$top" left="36" width="${marginNumCounter.toString.length * charW}" height="$lineH" font="0">$marginNumCounter</text>\n""")
       }
       // split at a single-space word boundary roughly mid-line; the two
@@ -317,23 +382,77 @@ object ScreenplayGen {
       if (bodyPageCount == 0 || (!fresh && needed > maxTop)) newPage()
       top = if (fresh) 79 else top + 36
       fresh = false
+      // revision mode: both dual dialog columns are colored (two Dialog
+      // pieces as far as the page's revision plan is concerned) — the
+      // splice must carry the color spans through to the merged objects
+      val fontL = fontFor("Dialog", d.linesL.length)
+      val fontR = fontFor("Dialog", d.linesR.length)
       textLine(top, xDia, d.nameL)
       textLine(top, 480, d.nameR)
       var i = 0
       val nRows = math.max(d.linesL.length, d.linesR.length)
       while (i < nRows) {
         top += 24
-        if (i < d.linesL.length) textLine(top, 180, d.linesL(i))
-        if (i < d.linesR.length) textLine(top, 450, d.linesR(i))
+        if (i < d.linesL.length) textLine(top, 180, d.linesL(i), fontL)
+        if (i < d.linesR.length) textLine(top, 450, d.linesR(i), fontR)
         i += 1
+      }
+      // Engine-faithful span derivation through the dual splice: the
+      // block-piece split hands each piece its FULL line's color spans
+      // un-rebased (ParseText.php:1056-1110), a fragment's span starts
+      // BEFORE its inter-fragment gap spaces (ParseText.php:515-524), the
+      // vertically-merged column objects shift each row's line spans by
+      // the joined-text prefix (ParseText.php's implode semantics), and
+      // every Dialog object clamps spans to [0, len(text)) via
+      // maybe_break_up_last_dialog (ParseText.php:2610-2696) with
+      // degenerate spans dropped by the revision rewrite
+      // (Parser.php:451-465). So a dual row "Town rain." | "Outside on
+      // quick." leaves the LEFT object span (0,10) (its phantom right
+      // span clamps to degenerate) and the RIGHT object the quirky
+      // triple (0,10),(10,38),(18,38).
+      // line-level spans per dual row, each under ITS fragment's color:
+      // (revId, start, endExcl) in the row's assembled-line offsets
+      def lineSpans(i: Int): Vector[(Int, Int, Int)] = {
+        val hasL = i < d.linesL.length && fontL > 0
+        val hasR0 = i < d.linesR.length && fontR > 0
+        val lenL = if (i < d.linesL.length) d.linesL(i).length else 0
+        val out = Vector.newBuilder[(Int, Int, Int)]
+        if (hasL) out += ((fontL - 1, 0, lenL))
+        if (hasR0) {
+          val start =
+            if (i < d.linesL.length) {
+              val gap = (450 - (180 + charW * lenL)) / charW
+              // right frag's span starts BEFORE its gap spaces (:515-524)
+              (lenL, lenL + gap + d.linesR(i).length)
+            } else (0, d.linesR(i).length)
+          out += ((fontR - 1, start._1, start._2))
+        }
+        out.result()
+      }
+      def colSpans(col: Vector[String]): Vector[(Int, Int, Int)] = {
+        val total = col.map(_.length).sum + (col.length - 1)
+        val prefixes = col.indices.map(i => col.take(i).map(_.length + 1).sum)
+        col.indices.flatMap { i =>
+          lineSpans(i).map { case (rv, s, e) =>
+            (rv, math.min(s + prefixes(i), total), math.min(e + prefixes(i), total))
+          }
+        }.filter(t => t._2 != t._3).toVector
       }
       dualAt(expected.length) = (1, true, false)
       expected += (("Character", d.nameL, curPageNum, givenOf(pageNo)))
       dualAt(expected.length) = (1, false, false)
+      locally {
+        val sp = colSpans(d.linesL)
+        if (sp.nonEmpty) lineRevs(expected.length) = sp
+      }
       expected += (("Dialog", d.linesL.mkString(" "), curPageNum, givenOf(pageNo)))
       dualAt(expected.length) = (2, false, true)
       expected += (("Character", d.nameR, curPageNum, givenOf(pageNo)))
       dualAt(expected.length) = (2, false, false)
+      locally {
+        val sp = colSpans(d.linesR)
+        if (sp.nonEmpty) lineRevs(expected.length) = sp
+      }
       expected += (("Dialog", d.linesR.mkString(" "), curPageNum, givenOf(pageNo)))
     }
 
@@ -356,8 +475,23 @@ object ScreenplayGen {
         top = if (fresh) 79 else top + gap
         fresh = false
         val font = fontFor(kind, lines.length)
-        lines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s, font) }
+        // C7: scene-number token beside the slugline; merges into the slug
+        // piece (gap < 12 spaces) where the leading-token strip removes it
+        if (kind == "Slugline" && opts.sceneNumbers) {
+          sceneCounter += 1
+          val sn = sceneCounter.toString
+          xml.append(s"""\t<text top="$top" left="70" width="${sn.length * charW}" height="$lineH" font="0">$sn</text>\n""")
+        }
+        // F6: every third Character heading drawn with a CONT'D marker the
+        // whiteout must erase (expected text stays the bare name)
+        val drawLines =
+          if (kind == "Character" && opts.contdMarkers) {
+            chrCounter += 1
+            if (chrCounter % 3 == 1) lines.map(_ + " (CONT'D)") else lines
+          } else lines
+        drawLines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s, font) }
         top += (lines.length - 1) * 24
+        if (font > 0) lineRevs(expected.length) = spansOf(lines, font - 1)
         expected += ((kind, lines.mkString(" "), curPageNum, givenOf(pageNo)))
       }
     }
@@ -401,8 +535,8 @@ object ScreenplayGen {
     //    and re-inserted at the lowest weights-index among the page's
     //    other known colors (the bump, Parser.php:377-382);
     //  * final rank r in the engine's output = reversed weights position.
-    val revExpected: Vector[(Long, String, String, Long)] =
-      if (revPalette.isEmpty) Vector.empty
+    val (revExpected: Vector[(Long, String, String, Long)], revRank: Map[Int, Int]) =
+      if (revPalette.isEmpty) (Vector.empty, Map.empty[Int, Int])
       else {
         val weights = ArrayBuffer.empty[Int]
         for (c <- revPalette.indices)
@@ -421,9 +555,22 @@ object ScreenplayGen {
             case _ => ()
           }
         }
-        weights.reverse.zipWithIndex.map { case (c, rank) =>
+        val ordered = weights.reverse
+        (ordered.zipWithIndex.map { case (c, rank) =>
           (rank.toLong, revPalette(c)._1, revPalette(c)._2, revSpans.getOrElse(c, 0L))
-        }.toVector
+        }.toVector,
+          ordered.zipWithIndex.map { case (c, rank) => c -> rank }.toMap)
+      }
+
+    // resolve recorded per-line spans to weights (= index in the final
+    // revision list) and render canonically, sorted by (weight, start)
+    val lineRevsExpected: Vector[String] =
+      if (revPalette.isEmpty) Vector.empty
+      else Vector.tabulate(expected.length) { i =>
+        lineRevs.getOrElse(i, Vector.empty)
+          .map { case (c, s, e) => (revRank.getOrElse(c, -1), s, e) }
+          .sortBy(t => (t._1, t._2))
+          .map { case (w, s, e) => s"$w:$s-$e" }.mkString("|")
       }
 
     // A5 expectation: replicate the per-type side vote over the expected
@@ -446,7 +593,8 @@ object ScreenplayGen {
 
     Doc(xml.toString, expected.toVector,
       Vector.tabulate(expected.length)(i => dualAt.getOrElse(i, (0, false, false))),
-      revExpected, voteExpected)
+      revExpected, voteExpected, lineRevsExpected,
+      (contTop, contBottom, contNum))
   }
 
   /** blank lines the engine synthesizes between lastTopOffset and top
