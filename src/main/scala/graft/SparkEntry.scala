@@ -418,6 +418,86 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_turns"))
         .orderBy(col("type"), col("side_left"), col("side_right"))
     }),
+    "q35_cross_verify" -> ((s, dir) => {
+      // Cross-feature driver attestation: ONE corpus whose every document
+      // carries dual-dialog exchanges, colored revisions (key + mixed
+      // pages), margin line numbers, scene-number tokens, CONT'D markers
+      // and CONTINUED bands at once — the pass-interaction product space
+      // (DualDialog splices blocks the revision walk later attributes,
+      // ParseText.php:1412-1563 + Parser.php:239-486) that q32/q33/q34's
+      // isolated corpora cannot see. The per-turn hash covers q32's field
+      // set PLUS each line's canonical revision-span and attr strings;
+      // the turn-level revision table, side-vote table and CONTINUED
+      // flags are compared alongside. Oracle recomputes the counts from
+      // the materialized GOLDENS and expects every turn to verify; the
+      // Spark-side n_dual/n_rev/n_cont counts come from EXTRACTED fields,
+      // proving the corpus carries the features and extraction surfaced
+      // them. ONE extraction pass (the audited invariant): turn-level
+      // strings are carried alongside the exploded lines.
+      val n = math.min(nConvsFor(dir), 200L)
+      val goldens = Transcripts.crossGoldens(s, n).toDF()
+      materialize(goldens, "q35_goldens")
+      val transcripts = Transcripts.synthesizeCross(s, n).toDF()
+      def spanStr(c: org.apache.spark.sql.Column, mid: String): org.apache.spark.sql.Column = array_join(sort_array(
+        transform(c, x => concat(x.getField("weight").cast("string"), lit(":"),
+          x.getField("start").cast("string"), lit(mid),
+          x.getField("end").cast("string")))), "|")
+      val lines = Pipeline.extracted(transcripts).select(
+        col("conv_id"), col("turn_idx"),
+        array_join(transform(col("ex.revisions"),
+          (x, i) => concat_ws(":", i.cast("string"), x.getField("name"),
+            x.getField("color"))), ";").as("rev_table"),
+        array_join(transform(col("ex.line_number_sides"),
+          v => concat_ws(":", v.getField("type"), v.getField("left").cast("string"),
+            v.getField("right").cast("string"))), ";").as("votes"),
+        col("ex.scene_continued_top").as("cont_top"),
+        col("ex.scene_continued_bottom").as("cont_bottom"),
+        col("ex.scene_continued_number").as("cont_number"),
+        // posexplode_OUTER: the non-outer variant lets
+        // InferFiltersFromGenerate push `size(extract_turn(..).lines) > 0`
+        // below the projection, duplicating the extraction (see
+        // Pipeline.lines); every assistant doc has lines, so the
+        // null-filter restores exact semantics
+        posexplode_outer(col("ex.lines")).as(Seq("line_idx", "line")))
+        .filter(col("line").isNotNull)
+      val a = lines
+        .withColumn("lh", xxhash64(col("line_idx"), col("line.kind"),
+          col("line.text"), col("line.page_num"), col("line.given_page_num"),
+          col("line.column"), col("line.has_dual"), col("line.is_dual"),
+          spanStr(col("line.revs"), "-"),
+          array_join(sort_array(transform(col("line.attrs"),
+            x => concat(x.getField("key"), lit(":"),
+              x.getField("start").cast("string"), lit("-"),
+              x.getField("end").cast("string")))), "|")))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(expr("bit_xor(lh)").as("h"), count(lit(1)).as("cnt"),
+          max(col("rev_table")).as("rev_table"), max(col("votes")).as("votes"),
+          max(col("cont_top")).as("cont_top"),
+          max(col("cont_bottom")).as("cont_bottom"),
+          max(col("cont_number")).as("cont_number"),
+          max(when(col("line.has_dual"), 1).otherwise(0)).as("hd"))
+      val b = goldens
+        .withColumn("lh", xxhash64(col("line_idx"), col("kind"), col("text"),
+          col("page_num"), col("given_page_num"), col("column"),
+          col("has_dual"), col("is_dual"), col("revs"), col("attrs")))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(expr("bit_xor(lh)").as("g_h"), count(lit(1)).as("g_cnt"),
+          max(col("rev_table")).as("g_rev"), max(col("votes")).as("g_votes"),
+          max(col("cont_top")).as("g_ct"), max(col("cont_bottom")).as("g_cb"),
+          max(col("cont_number")).as("g_cn"))
+      a.join(b, Seq("conv_id", "turn_idx"), "full_outer")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("h") <=> col("g_h") && col("cnt") <=> col("g_cnt") &&
+            col("rev_table") <=> col("g_rev") && col("votes") <=> col("g_votes") &&
+            col("cont_top") <=> col("g_ct") && col("cont_bottom") <=> col("g_cb") &&
+            col("cont_number") <=> col("g_cn"), 1L).otherwise(0L))
+            .cast("bigint").as("n_turns_ok"),
+          coalesce(sum(col("hd")), lit(0)).cast("bigint").as("n_dual_turns"),
+          coalesce(sum(when(length(col("rev_table")) > 0, 1).otherwise(0)), lit(0))
+            .cast("bigint").as("n_rev_turns"),
+          coalesce(sum(when(col("cont_top"), 1).otherwise(0)), lit(0))
+            .cast("bigint").as("n_cont_turns"))
+    }),
     "q19_char_rank" -> ((s, dir) => {
       val n = nConvsFor(dir)
       materialize(Transcripts.goldens(s, n, seed = 42L).toDF(), "q19_goldens")
@@ -802,6 +882,21 @@ object SparkEntry {
         |   GROUP BY conv_id, turn_idx)
         | SELECT COUNT(*) AS n_turns, COUNT(*) AS n_turns_ok,
         |   CAST(SUM(hd) AS BIGINT) AS n_dual_turns FROM t""".stripMargin.replace("\n", ""),
+    "q35_cross_verify" ->
+      // every turn must verify (hash covers content + dual meta + per-line
+      // revision spans + attrs; rev table, vote table and CONTINUED flags
+      // compared alongside); the n_dual/n_rev/n_cont counts recomputed
+      // from the goldens must match the EXTRACTED-side counts
+      """WITH t AS (SELECT conv_id, turn_idx,
+        |     MAX(CASE WHEN has_dual THEN 1 ELSE 0 END) AS hd,
+        |     MAX(CASE WHEN rev_table <> '' THEN 1 ELSE 0 END) AS rv,
+        |     MAX(CASE WHEN cont_top THEN 1 ELSE 0 END) AS ct
+        |   FROM read_parquet('{MAT}/q35_goldens/*.parquet')
+        |   GROUP BY conv_id, turn_idx)
+        | SELECT COUNT(*) AS n_turns, COUNT(*) AS n_turns_ok,
+        |   CAST(SUM(hd) AS BIGINT) AS n_dual_turns,
+        |   CAST(SUM(rv) AS BIGINT) AS n_rev_turns,
+        |   CAST(SUM(ct) AS BIGINT) AS n_cont_turns FROM t""".stripMargin.replace("\n", ""),
     "q19_char_rank" ->
       (s"""WITH g AS (SELECT conv_id, turn_idx, line_idx, $kindToTypeSql AS type, text
         |   FROM read_parquet('{MAT}/q19_goldens/*.parquet')),

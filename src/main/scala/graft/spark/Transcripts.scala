@@ -44,6 +44,20 @@ final case class VoteGoldenLine(
     conv_id: String, turn_idx: Int, `type`: String,
     side_left: Boolean, side_right: Boolean)
 
+/** Golden line for the cross-feature corpus (q35): the dual-corpus fields
+  * plus the line's canonical revision-span string and the turn-level
+  * expectations — final revision table, side-vote table and CONTINUED
+  * flags — repeated on every row of the turn (constant within a turn, so
+  * the per-turn aggregation reads them with max()).
+  */
+final case class CrossGoldenLine(
+    conv_id: String, turn_idx: Int, line_idx: Int,
+    kind: String, text: String, page_num: Int, given_page_num: String,
+    column: Int, has_dual: Boolean, is_dual: Boolean,
+    revs: String, attrs: String,
+    rev_table: String, votes: String,
+    cont_top: Boolean, cont_bottom: Boolean, cont_number: Boolean)
+
 /** Deterministic synthetic multi-turn transcript corpus: each assistant
   * turn's payload is a document (pdftohtml-style XML or Shakespeare-style
   * HTML, ~50/50), other turns carry small plain-text payloads. Generation
@@ -285,5 +299,68 @@ object Transcripts {
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     spark.range(0, nConvs, 1, par)
       .flatMap(k => numberedTurnsFor(seed, k, avgTurns).flatMap(_._2))
+  }
+
+  // ---- cross-feature corpus (q35 driver attestation) ---------------------
+  // Every assistant doc carries dual-dialog exchanges, colored revisions
+  // (key + mixed pages), margin line numbers, scene-number tokens, CONT'D
+  // markers and CONTINUED bands AT ONCE — the interaction product space
+  // (splice x revision walk x number capture) that the per-feature corpora
+  // q32/q33/q34 cannot see. 7-11 scenes so mixed pages occur.
+
+  /** Deterministic turns for one cross-feature conversation. */
+  def crossTurnsFor(seed: Long, k: Long, avgTurns: Int): Seq[(Turn, Seq[CrossGoldenLine])] = {
+    val r = new java.util.SplittableRandom(seed * 7000003L + k)
+    val id = f"cross-$seed%x-$k%08d"
+    val nTurns = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
+    (0 until nTurns).map { ti =>
+      val role = if (ti % 2 == 0) "user" else "assistant"
+      val ts = new Timestamp(epochMs + k * 3600000L + ti * 60000L)
+      if (role == "assistant") {
+        val docSeed = seed ^ (k * 611953L + ti)
+        val doc = ScreenplayGen.render(
+          ScreenplayGen.elementsWithDual(docSeed, 7 + r.nextInt(5)),
+          ScreenplayGen.Options(
+            revisions = revPalette,
+            marginLineNumbers = true,
+            sceneNumbers = true,
+            contdMarkers = true,
+            continuedBands = true))
+        val revTable = doc.revExpected
+          .map { case (rank, name, color, _) => s"$rank:$name:$color" }.mkString(";")
+        val votes = doc.voteExpected
+          .map { case (t, l, rr) => s"$t:$l:$rr" }.mkString(";")
+        val (cTop, cBottom, cNum) = doc.contExpected
+        val goldens = doc.expected.zip(doc.dualMeta).zipWithIndex.map {
+          case (((kind, text, page, given), (column, hasDual, isDual)), li) =>
+            CrossGoldenLine(id, ti, li, kind, text, page, given,
+              column, hasDual, isDual,
+              doc.lineRevsExpected(li), "",
+              revTable, votes, cTop, cBottom, cNum)
+        }
+        (Turn(id, ti, role, doc.xml, "pdftohtml", ts), goldens)
+      } else {
+        val text = s"cross-corpus turn $ti of $id: " + ("sit " * (1 + r.nextInt(6))).trim
+        (Turn(id, ti, role, text, "", ts), Seq.empty[CrossGoldenLine])
+      }
+    }
+  }
+
+  /** Distributed synthesis of the cross-feature corpus. */
+  def synthesizeCross(spark: SparkSession, nConvs: Long, seed: Long = 3131L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => crossTurnsFor(seed, k, avgTurns).map(_._1))
+  }
+
+  /** Goldens side of the cross-feature corpus. */
+  def crossGoldens(spark: SparkSession, nConvs: Long, seed: Long = 3131L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[CrossGoldenLine] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => crossTurnsFor(seed, k, avgTurns).flatMap(_._2))
   }
 }

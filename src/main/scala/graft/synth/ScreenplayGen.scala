@@ -563,14 +563,15 @@ object ScreenplayGen {
       }
 
     // resolve recorded per-line spans to weights (= index in the final
-    // revision list) and render canonically, sorted by (weight, start)
+    // revision list) and render canonically: "w:s-e" tokens sorted
+    // LEXICOGRAPHICALLY (so a Spark-side sort_array produces the same
+    // string without a numeric-sort UDF), joined with "|"
     val lineRevsExpected: Vector[String] =
       if (revPalette.isEmpty) Vector.empty
       else Vector.tabulate(expected.length) { i =>
         lineRevs.getOrElse(i, Vector.empty)
-          .map { case (c, s, e) => (revRank.getOrElse(c, -1), s, e) }
-          .sortBy(t => (t._1, t._2))
-          .map { case (w, s, e) => s"$w:$s-$e" }.mkString("|")
+          .map { case (c, s, e) => s"${revRank.getOrElse(c, -1)}:$s-$e" }
+          .sorted.mkString("|")
       }
 
     // A5 expectation: replicate the per-type side vote over the expected

@@ -61,8 +61,8 @@ class CrossCorpusSpec extends AnyFunSuite {
         s"seed $seed revision list: got=$gotRevs want=${doc.revExpected}")
 
       // 4. per-line revision spans (weight:start-end, canonical)
-      val gotLineRevs = t.lines.map(_.revs.sortBy(r => (r._1, r._2))
-        .map { case (w, s, e) => s"$w:$s-$e" }.mkString("|")).toVector
+      val gotLineRevs = t.lines.map(_.revs
+        .map { case (w, s, e) => s"$w:$s-$e" }.sorted.mkString("|")).toVector
       locally {
         var bad = -1; var i = 0
         while (i < gotLineRevs.size && bad < 0) {
