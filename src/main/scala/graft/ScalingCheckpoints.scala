@@ -48,7 +48,7 @@ object ScalingCheckpoints {
     // single-job comparator: same read, same extraction, same derived
     // columns, same bucket=<b> output layout — but one Spark job
     val (_, singleSecs) = timed {
-      val in = spark.read.parquet(s"$root/table/data")
+      val in = TranscriptTable.read(spark, s"$root/table")
         .filter(col("tool").isin("pdftohtml", "shakespeare"))
       in.select(col("conv_id"), col("turn_idx"), col("bucket"),
           graft.spark.ExtractTurn(col("text")).as("ex"))

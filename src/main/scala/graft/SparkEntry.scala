@@ -580,6 +580,58 @@ object SparkEntry {
           sum(col("n_lines")).cast("bigint").as("n_lines"))
         .orderBy(col("bucket"))
     }),
+    "q36_time_travel" -> ((s, dir) => {
+      // Iceberg-style snapshot time travel: write snapshot 1, overwrite
+      // ONE bucket in snapshot 2 (the old bucket's files stay on disk,
+      // the new manifest swaps in the replacement files), then read the
+      // table AT snapshot 1 — counts must match the original write —
+      // and at the current snapshot — the overwritten bucket doubled,
+      // every other bucket byte-identical. expireSnapshots(keep=current)
+      // then garbage-collects exactly the replaced files: snapshot 1
+      // becomes unreadable while the current snapshot still resolves
+      // (its manifest references surviving snap-1 files for the
+      // untouched buckets). The oracle recomputes both snapshots' counts
+      // from the materialized bucket mapping.
+      val n = math.min(nConvsFor(dir), 200L)
+      val nBuckets = 8
+      val root = java.nio.file.Files.createTempDirectory("graft_q36").toString
+      val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      materialize(transcripts.select(col("conv_id"), col("turn_idx"),
+        graft.spark.TranscriptTable.bucketCol(nBuckets).as("bucket")),
+        "q36_expected")
+      graft.spark.TranscriptTable.write(transcripts, root, nBuckets, snapshotId = 1L)
+      // overwrite bucket 0 with its own rows doubled (deterministic delta)
+      val b0 = transcripts
+        .withColumn("b", graft.spark.TranscriptTable.bucketCol(nBuckets))
+        .filter(col("b") === 0).drop("b")
+      graft.spark.TranscriptTable.overwriteBucket(
+        b0.unionByName(b0), root, bucket = 0, newSnapshotId = 2L)
+      def stats(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_bucket0"))
+        .head()
+      // EAGER evaluation: the result rows must be collected before
+      // expireSnapshots deletes the files a lazy plan would re-scan
+      val r1 = stats(graft.spark.TranscriptTable.readAt(s, root, 1L))
+      val r2 = stats(graft.spark.TranscriptTable.read(s, root))
+      // non-overwritten buckets must be byte-identical across snapshots
+      val cols = Seq("conv_id", "turn_idx", "role", "text", "tool")
+      val othersDiff = graft.spark.TranscriptTable.readAt(s, root, 1L)
+        .filter(col("bucket") =!= 0).select(cols.map(col): _*)
+        .exceptAll(graft.spark.TranscriptTable.read(s, root)
+          .filter(col("bucket") =!= 0).select(cols.map(col): _*))
+        .count()
+      require(othersDiff == 0L, s"non-overwritten buckets drifted: $othersDiff rows")
+      graft.spark.TranscriptTable.expireSnapshots(root, keep = Set(2L))
+      val r2post = stats(graft.spark.TranscriptTable.read(s, root))
+      require(r2post == r2, s"current snapshot changed after expire: $r2post vs $r2")
+      require(scala.util.Try(
+        graft.spark.TranscriptTable.readAt(s, root, 1L)).isFailure,
+        "expired snapshot 1 must no longer resolve")
+      import s.implicits._
+      Seq((1L, r1.getLong(0), r1.getLong(1)), (2L, r2.getLong(0), r2.getLong(1)))
+        .toDF("snap", "n_rows", "n_bucket0").orderBy(col("snap"))
+    }),
     "q23b_stream_watermark" -> ((s, dir) => {
       // watermarked event-time windowed aggregation over the extraction
       // stream, parquet sink, AvailableNow. Append mode only emits windows
@@ -897,6 +949,17 @@ object SparkEntry {
         |   CAST(SUM(hd) AS BIGINT) AS n_dual_turns,
         |   CAST(SUM(rv) AS BIGINT) AS n_rev_turns,
         |   CAST(SUM(ct) AS BIGINT) AS n_cont_turns FROM t""".stripMargin.replace("\n", ""),
+    "q36_time_travel" ->
+      // snapshot 1 = the original write; snapshot 2 = bucket 0 doubled.
+      // Recomputed from the materialized Spark-side bucket mapping (DuckDB
+      // has no Spark-compatible xxhash64)
+      """WITH m AS (SELECT
+        |     COUNT(*) AS n, SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS b0
+        |   FROM read_parquet('{MAT}/q36_expected/*.parquet'))
+        | SELECT CAST(1 AS BIGINT) AS snap, CAST(n AS BIGINT) AS n_rows, CAST(b0 AS BIGINT) AS n_bucket0 FROM m
+        | UNION ALL
+        | SELECT CAST(2 AS BIGINT) AS snap, CAST(n + b0 AS BIGINT), CAST(2 * b0 AS BIGINT) FROM m
+        | ORDER BY snap""".stripMargin.replace("\n", ""),
     "q19_char_rank" ->
       (s"""WITH g AS (SELECT conv_id, turn_idx, line_idx, $kindToTypeSql AS type, text
         |   FROM read_parquet('{MAT}/q19_goldens/*.parquet')),

@@ -14,11 +14,18 @@ import scala.jdk.CollectionConverters._
   * No Iceberg runtime jar ships in this environment (see SURVEY.md §7), so
   * this implements the same operational contract behind a small interface
   * a real Iceberg catalog can replace:
-  *   - data files:      <root>/data/bucket=<b>/part-*.parquet
+  *   - data files:      <root>/data/snap-<id>/bucket=<b>/part-*.parquet
   *                      (bucket = pmod(xxhash64(conv_id), nBuckets) — the
-  *                      conv_id bucketing the north rule requires)
+  *                      conv_id bucketing the north rule requires). Data
+  *                      files are IMMUTABLE: each write/overwrite lands
+  *                      its files under its own snapshot directory.
   *   - snapshot:        <root>/metadata/snapshot-<id>.json  (+ current.json
-  *                      pointer), carrying the partition spec and counters
+  *                      pointer), carrying the partition spec, schema and
+  *                      the MANIFEST — the (bucket, path) list of data
+  *                      files composing the snapshot. Reads always resolve
+  *                      through a manifest, so a prior snapshot stays
+  *                      readable after an overwrite ([[readAt]]) until
+  *                      [[expireSnapshots]] garbage-collects it.
   *   - checkpoints:     <root>/metadata/checkpoints/bucket-<b>.json written
   *                      atomically (tmp + move) per finished partition with
   *                      lineage (snapshot id, partition spec) and counters
@@ -31,7 +38,52 @@ object TranscriptTable {
 
   final case class Counters(turns: Long, bytes: Long, mismatches: Long)
 
+  /** One manifest entry: the bucket a data file belongs to and its path
+    * relative to the table root. */
+  final case class DataFile(bucket: Int, path: String)
+
   def bucketCol(nBuckets: Int) = pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int")
+
+  private def snapDataDir(root: String, snapshotId: Long): String =
+    s"$root/data/snap-$snapshotId"
+
+  /** All parquet files under a snapshot data dir, as manifest entries with
+    * root-relative paths; bucket parsed from the `bucket=N` path segment.
+    */
+  private def listDataFiles(root: String, snapshotId: Long): Vector[DataFile] = {
+    val base = Paths.get(snapDataDir(root, snapshotId))
+    if (!Files.isDirectory(base)) return Vector.empty
+    val rootPath = Paths.get(root)
+    val out = Files.walk(base).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map { p =>
+        val rel = rootPath.relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix("bucket=").toInt
+        DataFile(bucket, rel)
+      }.toVector
+    out.sortBy(_.path)
+  }
+
+  private def writeSnapshot(root: String, snapshotId: Long, nBuckets: Int,
+      schemaJson: String, manifest: Vector[DataFile]): Unit = {
+    val meta = Paths.get(root, "metadata")
+    Files.createDirectories(meta)
+    val snap = Obj.of(
+      "snapshot_id" -> Num(snapshotId.toDouble),
+      "format" -> Str("parquet"),
+      "partition_spec" -> Obj.of(
+        "kind" -> Str("bucket"),
+        "column" -> Str("conv_id"),
+        "transform" -> Str(s"pmod(xxhash64(conv_id), $nBuckets)"),
+        "n_buckets" -> Num(nBuckets.toDouble)),
+      "schema" -> Str(schemaJson),
+      "manifest" -> Arr(manifest.map(f => Obj.of(
+        "bucket" -> Num(f.bucket.toDouble),
+        "path" -> Str(f.path))).toVector))
+    atomicWrite(meta.resolve(s"snapshot-$snapshotId.json"), Json.write(snap))
+    atomicWrite(meta.resolve("current.json"),
+      Json.write(Obj.of("current_snapshot_id" -> Num(snapshotId.toDouble))))
+  }
 
   /** Write a conv_id-bucketed table + snapshot metadata.
     *
@@ -48,25 +100,92 @@ object TranscriptTable {
       .sortWithinPartitions("conv_id", "turn_idx") // stable order within files
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(s"$root/data")
-    val meta = Paths.get(root, "metadata")
-    Files.createDirectories(meta)
-    val snap = Obj.of(
-      "snapshot_id" -> Num(snapshotId.toDouble),
-      "format" -> Str("parquet"),
-      "partition_spec" -> Obj.of(
-        "kind" -> Str("bucket"),
-        "column" -> Str("conv_id"),
-        "transform" -> Str(s"pmod(xxhash64(conv_id), $nBuckets)"),
-        "n_buckets" -> Num(nBuckets.toDouble)),
-      "schema" -> Str(df.schema.json))
-    atomicWrite(meta.resolve(s"snapshot-$snapshotId.json"), Json.write(snap))
-    atomicWrite(meta.resolve("current.json"),
-      Json.write(Obj.of("current_snapshot_id" -> Num(snapshotId.toDouble))))
+      .parquet(snapDataDir(root, snapshotId))
+    writeSnapshot(root, snapshotId, nBuckets, df.schema.json,
+      listDataFiles(root, snapshotId))
   }
 
-  def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/data")
+  /** Iceberg-style partition overwrite: replace ONE bucket's data in a NEW
+    * snapshot. The new files land under the new snapshot's own data dir;
+    * the new manifest is the current one minus the bucket's old files plus
+    * the new ones. Files of the previous snapshot are NOT deleted — the
+    * old snapshot remains readable via [[readAt]] until expired.
+    */
+  def overwriteBucket(df: DataFrame, root: String, bucket: Int,
+      newSnapshotId: Long, filesPerBucket: Int = 4): Unit = {
+    val curId = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root"))
+    val cur = snapshotMeta(root, curId)
+    val nBuckets = cur("partition_spec")("n_buckets").asInt
+    df.withColumn("bucket", bucketCol(nBuckets))
+      .filter(col("bucket") === bucket)
+      .repartition(filesPerBucket,
+        pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(snapDataDir(root, newSnapshotId))
+    val kept = readManifest(root, curId).filterNot(_.bucket == bucket)
+    writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
+      kept ++ listDataFiles(root, newSnapshotId))
+  }
+
+  /** Read the table AT a snapshot: data files resolve through that
+    * snapshot's manifest, so overwritten buckets read their old files.
+    * Files are grouped per originating snapshot dir so the `bucket=N`
+    * partition column recovers through each group's basePath.
+    */
+  def readAt(spark: SparkSession, root: String, snapshotId: Long): DataFrame = {
+    val files = readManifest(root, snapshotId)
+    require(files.nonEmpty, s"snapshot $snapshotId at $root has an empty manifest")
+    files.groupBy(f => f.path.split('/').take(2).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (snapRel, fs) =>
+        spark.read.option("basePath", s"$root/$snapRel")
+          .parquet(fs.map(f => s"$root/${f.path}"): _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Read the table at its CURRENT snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val id = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root"))
+    readAt(spark, root, id)
+  }
+
+  /** Drop all snapshots except `keep` (must include the current one):
+    * deletes their metadata files and any data file no kept manifest
+    * references — after this, [[readAt]] on an expired id fails.
+    */
+  def expireSnapshots(root: String, keep: Set[Long]): Unit = {
+    val cur = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root"))
+    require(keep.contains(cur), s"keep set must include current snapshot $cur")
+    val meta = Paths.get(root, "metadata")
+    val all = Files.list(meta).iterator.asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+      .toVector
+    val referenced = keep.flatMap(id => readManifest(root, id).map(_.path))
+    all.filterNot(keep).foreach { id =>
+      listDataFiles(root, id).foreach { f =>
+        if (!referenced.contains(f.path)) Files.deleteIfExists(Paths.get(root, f.path))
+      }
+      Files.deleteIfExists(meta.resolve(s"snapshot-$id.json"))
+    }
+  }
+
+  def snapshotMeta(root: String, snapshotId: Long): Json.Value = {
+    val p = Paths.get(root, "metadata", s"snapshot-$snapshotId.json")
+    require(Files.exists(p), s"snapshot $snapshotId not found at $root")
+    Json.parse(Files.readString(p))
+  }
+
+  def readManifest(root: String, snapshotId: Long): Vector[DataFile] =
+    snapshotMeta(root, snapshotId)("manifest").asArray.map { v =>
+      DataFile(v("bucket").asInt, v("path").asString)
+    }
 
   def currentSnapshotId(root: String): Option[Long] = {
     val p = Paths.get(root, "metadata", "current.json")
@@ -143,16 +262,22 @@ object TranscriptTable {
   def extractWithCheckpoints(spark: SparkSession, tableRoot: String,
       outRoot: String, nBuckets: Int, maxConcurrent: Int = 1): Counters = {
     val snapshotId = currentSnapshotId(tableRoot).getOrElse(0L)
+    // buckets resolve through the current snapshot's manifest (a bucket's
+    // files always come from one snapshot dir: full writes land them
+    // together and overwriteBucket replaces a bucket wholesale)
+    val byBucket = readManifest(tableRoot, snapshotId).groupBy(_.bucket)
     val done = committedBuckets(outRoot)
     val todo = (0 until nBuckets).filterNot(done)
     val processBucket = (b: Int) => {
-      val bucketDir = java.nio.file.Paths.get(tableRoot, "data", s"bucket=$b")
-      if (!Files.isDirectory(bucketDir)) {
-        // partitionBy writes no directory for an empty bucket — commit an
+      val bucketFiles = byBucket.getOrElse(b, Vector.empty)
+      if (bucketFiles.isEmpty) {
+        // partitionBy writes no files for an empty bucket — commit an
         // empty manifest so resume can progress past it
         commitBucket(outRoot, b, snapshotId, nBuckets, Counters(0, 0, 0))
       } else {
-      val in = spark.read.parquet(s"$tableRoot/data/bucket=$b")
+      val snapRel = bucketFiles.head.path.split('/').take(2).mkString("/")
+      val in = spark.read.option("basePath", s"$tableRoot/$snapRel")
+        .parquet(bucketFiles.map(f => s"$tableRoot/${f.path}"): _*)
       // counters ride the write itself via observe() (SURVEY §2.5): the
       // metrics are collected from the rows as they flow into the parquet
       // sink, so the manifest commits in ONE output pass — the round-2

@@ -124,6 +124,48 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(graft.pdfxml.PdfXml.parse(onePage).objects.isEmpty)
   }
 
+  test("iceberg-style table: snapshot time travel, overwrite, expire") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val nBuckets = 4
+    val t = Transcripts.synthesize(sp, 30, seed = 13L).toDF()
+    TranscriptTable.write(t, root, nBuckets, snapshotId = 1L)
+    val total1 = TranscriptTable.read(sp, root).count()
+    val b1 = TranscriptTable.read(sp, root).filter(col("bucket") === 1)
+    val b1n = b1.count()
+    assert(b1n > 0)
+    // snapshot 2: bucket 1 doubled; other buckets' files are SHARED
+    val newB1 = t.withColumn("b", TranscriptTable.bucketCol(nBuckets))
+      .filter(col("b") === 1).drop("b")
+    TranscriptTable.overwriteBucket(newB1.unionByName(newB1), root, 1, 2L)
+    assert(TranscriptTable.currentSnapshotId(root).contains(2L))
+    // time travel: snapshot 1 still reads its original content
+    assert(TranscriptTable.readAt(sp, root, 1L).count() == total1)
+    assert(TranscriptTable.readAt(sp, root, 1L)
+      .filter(col("bucket") === 1).count() == b1n)
+    // current: bucket 1 doubled, the rest untouched
+    assert(TranscriptTable.read(sp, root).count() == total1 + b1n)
+    assert(TranscriptTable.read(sp, root).filter(col("bucket") === 1).count() == 2 * b1n)
+    // checkpointed extraction resolves through the current manifest
+    val out = java.nio.file.Files.createTempDirectory("graft_tt_out").toString
+    val c = TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets)
+    val expectTurns = TranscriptTable.read(sp, root)
+      .filter(col("tool").isin("pdftohtml", "shakespeare")).count()
+    assert(c.turns == expectTurns, s"${c.turns} != $expectTurns")
+    // expire: snapshot 1 gone, its replaced bucket-1 files deleted, but
+    // the current snapshot (sharing snap-1 files for buckets != 1) reads on
+    TranscriptTable.expireSnapshots(root, keep = Set(2L))
+    assert(TranscriptTable.read(sp, root).count() == total1 + b1n)
+    intercept[IllegalArgumentException] {
+      TranscriptTable.readAt(sp, root, 1L)
+    }
+    // keep set must include current
+    intercept[IllegalArgumentException] {
+      TranscriptTable.expireSnapshots(root, keep = Set(1L))
+    }
+  }
+
   test("iceberg-style table: bucketed write, checkpointed extract, resume") {
     val sp = spark
     val root = java.nio.file.Files.createTempDirectory("graft_table").toString
@@ -142,7 +184,7 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(TranscriptTable.committedBuckets(out2).size == nBuckets + 60)
     val _ = c2
     // counters only cover buckets 1..3 (bucket 0 was "already done")
-    val expectTurns = sp.read.parquet(s"$root/data")
+    val expectTurns = TranscriptTable.read(sp, root)
       .filter(col("tool").isin("pdftohtml", "shakespeare"))
       .filter(col("bucket") =!= 0).count()
     assert(counters.turns == expectTurns, s"${counters.turns} != $expectTurns")
@@ -152,7 +194,7 @@ class SparkPipelineSpec extends AnyFunSuite {
     val c3 = TranscriptTable.extractWithCheckpoints(sp, root, out3, nBuckets,
       maxConcurrent = 4)
     assert(TranscriptTable.committedBuckets(out3).size == nBuckets)
-    assert(c3.turns == expectTurns + sp.read.parquet(s"$root/data")
+    assert(c3.turns == expectTurns + TranscriptTable.read(sp, root)
       .filter(col("tool").isin("pdftohtml", "shakespeare"))
       .filter(col("bucket") === 0).count())
     assert(c3.bytes > 0)
@@ -169,7 +211,7 @@ class SparkPipelineSpec extends AnyFunSuite {
       root, nBuckets, snapshotId = 1L)
 
     // corrupt one bucket's data files so its job throws mid-run
-    val badDir = Paths.get(root, "data", "bucket=2")
+    val badDir = Paths.get(root, "data", "snap-1", "bucket=2")
     assume(Files.isDirectory(badDir), "bucket 2 empty for this seed")
     val saved = Files.list(badDir).iterator.asScala
       .filter(_.toString.endsWith(".parquet"))
