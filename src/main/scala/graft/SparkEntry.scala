@@ -580,6 +580,42 @@ object SparkEntry {
           sum(col("n_lines")).cast("bigint").as("n_lines"))
         .orderBy(col("bucket"))
     }),
+    "q37_skew_stress" -> ((s, dir) => {
+      // Skew-stress attestation: every conversation hashing into bucket 0
+      // carries 50x the turns (planted via the Spark-compatible bucket
+      // hash, Transcripts.bucketOf), so ONE bucket holds the bulk of the
+      // corpus — the long-conversation skew the north rule calls out, in
+      // its worst layout. The table write salts each bucket into several
+      // files and extraction parallelism is per-turn, so the checkpointed
+      // extract must still produce exactly the golden per-bucket counts.
+      // The oracle recomputes them from the materialized bucket mapping
+      // joined with golden line counts; the wall-time flatness evidence
+      // (skewed vs uniform layout at equal turns) lives in
+      // BENCH/BASELINE.md (graft.ScalingSkew).
+      val n = math.min(nConvsFor(dir), 400L)
+      val nBuckets = 8
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q37").toString
+      val transcripts = Transcripts.synthesizeSkewed(s, n, seed = 42L, nBuckets = nBuckets).toDF()
+      graft.spark.TranscriptTable.write(transcripts, s"$tmp/table", nBuckets, snapshotId = 1L)
+      val c1 = graft.spark.TranscriptTable.extractWithCheckpoints(
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 4)
+      require(c1.turns > 0, "skew corpus extracted no turns")
+      val goldens = Transcripts.skewedGoldens(s, n, seed = 42L, nBuckets = nBuckets).toDF()
+      val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("g_lines"))
+      materialize(
+        transcripts.filter(col("tool").isin("pdftohtml", "shakespeare"))
+          .select(col("conv_id"), col("turn_idx"),
+            graft.spark.TranscriptTable.bucketCol(nBuckets).as("bucket"))
+          .join(perTurn, Seq("conv_id", "turn_idx"), "left")
+          .na.fill(0L, Seq("g_lines")),
+        "q37_expected")
+      s.read.parquet(s"$tmp/out/data")
+        .groupBy(col("bucket").cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("n_lines")).cast("bigint").as("n_lines"))
+        .orderBy(col("bucket"))
+    }),
     "q36_time_travel" -> ((s, dir) => {
       // Iceberg-style snapshot time travel: write snapshot 1, overwrite
       // ONE bucket in snapshot 2 (the old bucket's files stay on disk,
@@ -1009,6 +1045,11 @@ object SparkEntry {
       """SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_turns,
         | CAST(SUM(g_lines) AS BIGINT) AS n_lines
         | FROM read_parquet('{MAT}/q29_expected/*.parquet')
+        | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", ""),
+    "q37_skew_stress" ->
+      """SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_turns,
+        | CAST(SUM(g_lines) AS BIGINT) AS n_lines
+        | FROM read_parquet('{MAT}/q37_expected/*.parquet')
         | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", ""),
     "q30_stream_dedup" ->
       """SELECT format, COUNT(DISTINCT text) AS n_unique

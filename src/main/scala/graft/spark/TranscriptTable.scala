@@ -99,6 +99,13 @@ object TranscriptTable {
         pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
       .sortWithinPartitions("conv_id", "turn_idx") // stable order within files
       .write.mode(SaveMode.Overwrite)
+      // CPU-sized row groups: a parquet file only splits at ROW-GROUP
+      // boundaries, so with the 128 MB default one skew-heavy bucket file
+      // is ONE scan task no matter what maxPartitionBytes says — measured
+      // 2.6x (salted) / 7.1x (unsalted) wall vs a uniform layout on the
+      // 50x-skew corpus (graft.ScalingSkew). 4 MiB groups restore
+      // byte-range parallelism inside big files; see BENCH/BASELINE.md.
+      .option("parquet.block.size", (4 * 1024 * 1024).toString)
       .partitionBy("bucket")
       .parquet(snapDataDir(root, snapshotId))
     writeSnapshot(root, snapshotId, nBuckets, df.schema.json,
@@ -123,6 +130,7 @@ object TranscriptTable {
         pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
       .sortWithinPartitions("conv_id", "turn_idx")
       .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (4 * 1024 * 1024).toString) // see write()
       .partitionBy("bucket")
       .parquet(snapDataDir(root, newSnapshotId))
     val kept = readManifest(root, curId).filterNot(_.bucket == bucket)

@@ -83,11 +83,42 @@ object Transcripts {
   def convId(seed: Long, k: Long): String = f"conv-$seed%x-$k%08d"
 
   /** Deterministic turns for one conversation. */
+  /** Spark-compatible conv_id bucket: pmod(xxhash64(conv_id), nBuckets)
+    * with Spark's default seed 42 — lets a generator TARGET a bucket.
+    */
+  def bucketOf(convIdStr: String, nBuckets: Int): Int = {
+    val b = convIdStr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+
+  /** [[turnsFor]] with the long-conversation skew PLANTED in one bucket:
+    * every conversation hashing into bucket 0 of `nBuckets` gets
+    * `skewFactor`x the turns. Conversations outside bucket 0 are
+    * byte-identical to the unskewed stream (same seed, same draws), so a
+    * skew-stress run isolates exactly the layout variable.
+    */
+  def skewedTurnsFor(seed: Long, k: Long, avgTurns: Int, nBuckets: Int,
+      skewFactor: Int): Seq[(Turn, Seq[GoldenLine])] = {
+    val r = new java.util.SplittableRandom(seed * 1000003L + k)
+    val id = convId(seed, k)
+    val base = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
+    val nTurns = if (bucketOf(id, nBuckets) == 0) base * skewFactor else base
+    turnsBody(r, seed, k, id, nTurns)
+  }
+
   def turnsFor(seed: Long, k: Long, avgTurns: Int, skewEvery: Int, skewFactor: Int): Seq[(Turn, Seq[GoldenLine])] = {
     val r = new java.util.SplittableRandom(seed * 1000003L + k)
     val id = convId(seed, k)
     val base = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
     val nTurns = if (skewEvery > 0 && k % skewEvery == 0) base * skewFactor else base
+    turnsBody(r, seed, k, id, nTurns)
+  }
+
+  private def turnsBody(r: java.util.SplittableRandom, seed: Long, k: Long,
+      id: String, nTurns: Int): Seq[(Turn, Seq[GoldenLine])] = {
     (0 until nTurns).map { ti =>
       val role = ti % 3 match { case 0 => "user"; case 1 => "assistant"; case 2 => "tool" }
       val ts = new Timestamp(epochMs + k * 3600000L + ti * 60000L)
@@ -299,6 +330,26 @@ object Transcripts {
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     spark.range(0, nConvs, 1, par)
       .flatMap(k => numberedTurnsFor(seed, k, avgTurns).flatMap(_._2))
+  }
+
+  /** Distributed synthesis of the skew-stress corpus (see skewedTurnsFor). */
+  def synthesizeSkewed(spark: SparkSession, nConvs: Long, seed: Long = 42L,
+      avgTurns: Int = 8, nBuckets: Int = 8, skewFactor: Int = 50,
+      parallelism: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => skewedTurnsFor(seed, k, avgTurns, nBuckets, skewFactor).map(_._1))
+  }
+
+  /** Goldens side of the skew-stress corpus. */
+  def skewedGoldens(spark: SparkSession, nConvs: Long, seed: Long = 42L,
+      avgTurns: Int = 8, nBuckets: Int = 8, skewFactor: Int = 50,
+      parallelism: Int = 0): Dataset[GoldenLine] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => skewedTurnsFor(seed, k, avgTurns, nBuckets, skewFactor).flatMap(_._2))
   }
 
   // ---- cross-feature corpus (q35 driver attestation) ---------------------
