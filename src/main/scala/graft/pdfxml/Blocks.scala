@@ -133,12 +133,12 @@ object LooksLike {
   private val hruleRe = p("^[-]*$")
   def hrule(s: String): Boolean = s.length > 10 && hruleRe.find(s)
 
-  def changebar(lines: Seq[String]): Boolean =
+  def changebar(lines: collection.Seq[String]): Boolean =
     lines.nonEmpty && lines.head == "*" && lines.forall(_ == "*")
 
   private val zipRe = p("[A-Z][A-Z],? [0-9]{5}(, USA)?$")
   private val phoneRe = p("[^0-9][0-9]{3}[-.][0-9]{3}[-.][0-9]{4}[^0-9]")
-  def contactInfo(lines: Seq[String]): Boolean =
+  def contactInfo(lines: collection.Seq[String]): Boolean =
     lines.exists(l => zipRe.find(l)) || lines.exists(l => phoneRe.find(l))
 
   private val date1 = p("^(.*[^0-9])?[0-9]?[0-9][-./][0-9]?[0-9][-./][0-9][0-9]([^0-9].*)?$")
@@ -379,7 +379,7 @@ final class Block(piece: BlockPiece) {
     if (blockNum < 3 && lines.length == 1 && LooksLike.containsDate(lines(0)) &&
         Php.mbLen(lines(0)) < 28) {
       kind = "Page Header"
-    } else if (LooksLike.changebar(lines.toSeq)) {
+    } else if (LooksLike.changebar(lines)) {
       kind = "Changebar"
     } else if (height == 1 && LooksLike.slugline(lines(0))) {
       kind = "Slugline"
@@ -396,7 +396,7 @@ final class Block(piece: BlockPiece) {
       kind = "Action" // The End treated as a simple action
     } else if (height == 1 && LooksLike.hrule(lines(0))) {
       kind = "Horizontal Rule"
-    } else if (height > 1 && LooksLike.contactInfo(lines.toSeq)) {
+    } else if (height > 1 && LooksLike.contactInfo(lines)) {
       kind = "Contact Info"
     } else if (height == 1 && LooksLike.character(lines(0))) {
       // gate `$bx == 0 || prev_kind == "Text"` is always true (see scaladoc)

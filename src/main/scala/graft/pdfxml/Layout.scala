@@ -278,7 +278,11 @@ object Layout {
 
     // iterate tops ascending (ksort, ParseText.php:350); inner maps stay
     // in insertion order for the banding passes
-    linesInPage.toSeq.sortBy(_._1).foreach { case (top, lineFrags) =>
+    // toArray + in-place sort: .toSeq materialized a List of the whole
+    // map per page and sortBy copied it again (round-5 JFR)
+    val sortedLines = linesInPage.toArray
+    scala.util.Sorting.stableSort(sortedLines, (a: (Int, FragLine), b: (Int, FragLine)) => a._1 < b._1)
+    sortedLines.foreach { case (top, lineFrags) =>
       var frags: ArrayBuffer[F] = {
         val b = new ArrayBuffer[F](lineFrags.len)
         var fi = 0

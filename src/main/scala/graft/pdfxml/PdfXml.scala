@@ -87,13 +87,13 @@ object PdfXml {
       lineObjects.foreach { lo =>
         lastGiven = lo.givenPageNum
         if (lo.text == "\f") {
-          parser.parsePage(linesThisPage.toSeq, firstTime, lo.givenPageNum)
+          parser.parsePage(linesThisPage, firstTime, lo.givenPageNum)
           firstTime = false
           linesThisPage = new ArrayBuffer[LineObj]
         } else linesThisPage += lo
       }
       if (linesThisPage.nonEmpty)
-        parser.parsePage(linesThisPage.toSeq, lookForFlyPage = false, lastGiven)
+        parser.parsePage(linesThisPage, lookForFlyPage = false, lastGiven)
     } else {
       // reference bug (ParseText.php:645): the non-formfeed branch passes an
       // undefined variable, i.e. an empty page — replicated

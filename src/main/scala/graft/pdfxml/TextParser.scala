@@ -90,7 +90,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags,
       numPages, givenPageNum, colorsArg, fontSize, ta, num)
   }
 
-  def parsePage(lineObjects: Seq[LineObj], lookForFlyPage: Boolean, givenPageNum0: String): Unit = {
+  def parsePage(lineObjects: collection.Seq[LineObj], lookForFlyPage: Boolean, givenPageNum0: String): Unit = {
     numPages += 1
     givenPageNum = givenPageNum0
 
@@ -210,7 +210,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags,
 
     // ---- indent inference (:1192-1205)
     var likelyIndent: mutable.LinkedHashMap[String, Int] =
-      Indents.nextgen(blocks.toSeq).getOrElse(Indents.prevgen(blocks.toSeq))
+      Indents.nextgen(blocks).getOrElse(Indents.prevgen(blocks))
     if (likelyIndent.contains("Character") && likelyIndent.get("Dialog").contains(0)) {
       if (likelyIndent.get("Action").contains(0)) likelyIndent.remove("Action")
       if (likelyIndent.get("Slugline").contains(0)) likelyIndent.remove("Slugline")
@@ -243,7 +243,7 @@ final class TextParser(val colors: ColorsList, flags: DocFlags,
     // ---- refresh likely indents from the final kinds (:1260-1264)
     val indent2: Map[String, Option[Int]] =
       Vector("Character", "Dialog", "Slugline", "Action", "Unknown")
-        .map(v => v -> Indents.likelyIndentFor(blocks.toSeq, v)).toMap
+        .map(v => v -> Indents.likelyIndentFor(blocks, v)).toMap
 
     // Unknown at the modal Unknown indent -> Slugline/Action (:1265-1277)
     if (indent2("Action").isEmpty && indent2("Slugline").isEmpty &&
@@ -552,7 +552,7 @@ object Indents {
   /** get_likely_indent_for: modal x for a kind; ties resolved to the
     * last-first-seen x for Character/Dialog, first-seen otherwise.
     */
-  def likelyIndentFor(blocks: Seq[Block], kind: String): Option[Int] = {
+  def likelyIndentFor(blocks: collection.Seq[Block], kind: String): Option[Int] = {
     val counts = mutable.LinkedHashMap.empty[Int, Int]
     blocks.foreach { b =>
       if (b.kind == kind) counts(b.x) = counts.getOrElse(b.x, 0) + 1
@@ -566,7 +566,7 @@ object Indents {
     }
   }
 
-  def prevgen(blocks: Seq[Block]): mutable.LinkedHashMap[String, Int] = {
+  def prevgen(blocks: collection.Seq[Block]): mutable.LinkedHashMap[String, Int] = {
     val out = mutable.LinkedHashMap.empty[String, Int]
     Vector("Character", "Dialog", "Slugline", "Action").foreach { v =>
       likelyIndentFor(blocks, v).foreach(out(v) = _)
@@ -583,7 +583,7 @@ object Indents {
     * counts Transition/Character/Paren on level 0 — the reference indexes
     * `$lkeys[0]` for all six sums — replicated as-is.
     */
-  def nextgen(blocks: Seq[Block]): Option[mutable.LinkedHashMap[String, Int]] = {
+  def nextgen(blocks: collection.Seq[Block]): Option[mutable.LinkedHashMap[String, Int]] = {
     val interesting = Set("Character", "Paren", "Dialog", "Action", "Slugline",
       "Transition", "Text", "Unknown")
     val byIndent = mutable.LinkedHashMap.empty[Int, ArrayBuffer[Block]]

@@ -211,12 +211,12 @@ object XmlTok {
                     val q = xml.charAt(j); j += 1
                     val vs = j
                     while (j < n && xml.charAt(j) != q) j += 1
-                    avalue = xml.substring(vs, j)
+                    avalue = internValue(xml, vs, j)
                     if (j < n) j += 1
                   } else {
                     val vs = j
                     while (j < n && !isWs(xml.charAt(j)) && xml.charAt(j) != '>') j += 1
-                    avalue = xml.substring(vs, j)
+                    avalue = internValue(xml, vs, j)
                   }
                 }
                 if (aname.nonEmpty) {
@@ -303,5 +303,38 @@ object XmlTok {
   def decode(s: String): String = {
     if (s.indexOf('&') < 0) return s
     graft.tokenize.Html.decodeEntities(s)
+  }
+
+  /** shared strings for small non-negative integers — pdftohtml attribute
+    * values (TOP/LEFT/WIDTH/HEIGHT/FONT/SIZE/NUMBER) are overwhelmingly
+    * ints under the page height, and their substrings were the single
+    * largest byte[]/String source left in the round-5 allocation profile
+    */
+  private val smallInts: Array[String] = Array.tabulate(2048)(_.toString)
+
+  /** attribute value with interning: pure-digit values < 2048 and the
+    * fixed pdftohtml literals return shared instances; everything else
+    * copies as before
+    */
+  private def internValue(xml: String, from: Int, to: Int): String = {
+    val len = to - from
+    if (len == 0) return ""
+    if (len <= 4) {
+      var v = 0
+      var i = from
+      var digits = true
+      while (i < to && digits) {
+        val c = xml.charAt(i)
+        if (c < '0' || c > '9') digits = false else v = v * 10 + (c - '0')
+        i += 1
+      }
+      if (digits && v < smallInts.length) return smallInts(v)
+    }
+    @inline def is(lit: String): Boolean =
+      len == lit.length && xml.regionMatches(false, from, lit, 0, len)
+    if (is("absolute")) "absolute"
+    else if (is("Courier")) "Courier"
+    else if (is("#000000")) "#000000"
+    else xml.substring(from, to)
   }
 }

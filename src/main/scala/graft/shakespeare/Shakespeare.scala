@@ -37,7 +37,10 @@ object Shakespeare {
 
   def parse(html: String): Vector[ScriptLine] = {
     val doc = Html.parse(html)
-    val out = new ArrayBuffer[ScriptLine](4096)
+    // 512: big enough that real plays double only a few times, small
+    // enough that short synthetic docs don't pay a 4096-slot array each
+    // (the old pre-size was ~30% of this parse's allocation, round-5 JFR)
+    val out = new ArrayBuffer[ScriptLine](512)
 
     def addBlanks(n: Int): Unit =
       for (_ <- 0 until n) out += mk("Text", "", titlePage = true)

@@ -93,15 +93,24 @@ object ExtractTurn {
     * (Parser.php:66-88) without needing a side channel.
     */
   def sniffFormat(text: String): String = {
-    val head = text.substring(0, math.min(text.length, 4096))
-    if (head.contains("<pdf2xml")) "pdfxml"
-    else {
-      val lower = head.toLowerCase
-      if (lower.contains("<html") || lower.contains("<!doctype html") ||
-          lower.contains("name=speech")) "shakespeare"
-      else if (head.contains("<page")) "pdfxml"
-      else "unknown"
+    // bounded in-place scans: the old head-substring + toLowerCase copied
+    // up to 8 KB per sniffed turn (round-5 allocation profile)
+    val bound = math.min(text.length, 4096)
+    @inline def has(lit: String, ignoreCase: Boolean): Boolean = {
+      val max = bound - lit.length
+      var i = 0
+      while (i <= max) {
+        if (text.regionMatches(ignoreCase, i, lit, 0, lit.length)) return true
+        i += 1
+      }
+      false
     }
+    if (has("<pdf2xml", ignoreCase = false)) "pdfxml"
+    else if (has("<html", ignoreCase = true) ||
+      has("<!doctype html", ignoreCase = true) ||
+      has("name=speech", ignoreCase = true)) "shakespeare"
+    else if (has("<page", ignoreCase = false)) "pdfxml"
+    else "unknown"
   }
 
   /** Oversized-payload guard: the reference rejects uploads over 20 MB

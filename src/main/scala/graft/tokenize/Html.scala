@@ -40,9 +40,17 @@ object Html {
     def attr(n: String): Option[String] = attrs.find(_._1 == n).map(_._2)
     def nodeValue: String = {
       val sb = new java.lang.StringBuilder
-      def rec(e: Elem): Unit = e.children.foreach {
-        case t: Text => sb.append(t.data)
-        case c: Elem => rec(c)
+      // index loops: ArrayBuffer.foreach allocates a checked view +
+      // iterator per call in 2.13, and this walk runs per element
+      def rec(e: Elem): Unit = {
+        var i = 0
+        while (i < e.children.length) {
+          e.children(i) match {
+            case t: Text => sb.append(t.data)
+            case c: Elem => rec(c)
+          }
+          i += 1
+        }
       }
       rec(this)
       sb.toString
@@ -51,11 +59,15 @@ object Html {
     /** first descendant element with the given name (document order) */
     def findFirst(n: String): Option[Elem] = {
       if (name == n) return Some(this)
-      children.foreach {
-        case e: Elem =>
-          val r = e.findFirst(n)
-          if (r.isDefined) return r
-        case _ =>
+      var i = 0
+      while (i < children.length) {
+        children(i) match {
+          case e: Elem =>
+            val r = e.findFirst(n)
+            if (r.isDefined) return r
+          case _ =>
+        }
+        i += 1
       }
       None
     }
