@@ -376,7 +376,8 @@ object Transcripts {
             marginLineNumbers = true,
             sceneNumbers = true,
             contdMarkers = true,
-            continuedBands = true))
+            continuedBands = true,
+            inlineStyles = true))
         val revTable = doc.revExpected
           .map { case (rank, name, color, _) => s"$rank:$name:$color" }.mkString(";")
         val votes = doc.voteExpected
@@ -386,7 +387,7 @@ object Transcripts {
           case (((kind, text, page, given), (column, hasDual, isDual)), li) =>
             CrossGoldenLine(id, ti, li, kind, text, page, given,
               column, hasDual, isDual,
-              doc.lineRevsExpected(li), "",
+              doc.lineRevsExpected(li), doc.lineAttrsExpected(li),
               revTable, votes, cTop, cBottom, cNum)
         }
         (Turn(id, ti, role, doc.xml, "pdftohtml", ts), goldens)

@@ -48,7 +48,12 @@ object ScreenplayGen {
       /** continuedBands-mode expectation: the turn-level
         * (scene_continued_top, scene_continued_bottom,
         * scene_continued_number) flag triple. */
-      contExpected: (Boolean, Boolean, Boolean) = (false, false, false))
+      contExpected: (Boolean, Boolean, Boolean) = (false, false, false),
+      /** inlineStyles-mode expectation, aligned 1:1 with expected: the
+        * canonical rendering of each line's b/i spans — "tag:s-e" tokens
+        * (INCLUSIVE code-point ends, the reference's convention) sorted
+        * lexicographically, joined with "|"; "" when none. */
+      lineAttrsExpected: Vector[String] = Vector.empty)
   // expected tuples: (kind, text, pageNum, givenPageNum)
   // dualMeta (aligned 1:1 with expected when non-empty): the
   // (column, has_dual, is_dual) the engine's WriteOutput-style column
@@ -178,7 +183,15 @@ object ScreenplayGen {
         * [[Doc.contExpected]] carries the expected (top, bottom, number)
         * flag triple.
         */
-      continuedBands: Boolean = false)
+      continuedBands: Boolean = false,
+      /** S2/X16 corpus mode: every third Dialog line wraps one word in a
+        * <b>/<i> child (alternating); the tokenizer must record the span
+        * as an inclusive code-point range (sxiToArray,
+        * ParseText.php:76-94) that survives line assembly, the block
+        * split and the object merge — [[Doc.lineAttrsExpected]] carries
+        * the canonical expected string per line.
+        */
+      inlineStyles: Boolean = false)
 
   /** Render elements to pdftohtml-style XML and derive the expected
     * extraction output.
@@ -201,8 +214,11 @@ object ScreenplayGen {
     // the object's joined text; resolved to weights once the final
     // revision list is known
     val lineRevs = scala.collection.mutable.Map.empty[Int, Vector[(Int, Int, Int)]]
+    // expected-index -> (tag, start, endIncl) b/i spans at object offsets
+    val lineAttrs = scala.collection.mutable.Map.empty[Int, Vector[(String, Int, Int)]]
     var sceneCounter = 0
     var chrCounter = 0
+    var styleCounter = 0
     /** spans of a colored multi-line piece in its space-joined object text */
     def spansOf(ls: Vector[String], revId: Int): Vector[(Int, Int, Int)] = {
       var off = 0
@@ -262,6 +278,24 @@ object ScreenplayGen {
 
     val jitterRnd = new java.util.SplittableRandom(0x5eed)
     var marginNumCounter = 0
+
+    /** textLine variant with one styled child: the line's [s0, e1)
+      * char range renders inside a <tag> element (tag = "b"/"i").
+      */
+    def styledTextLine(top: Int, left: Int, s: String, font: Int,
+        s0: Int, e1: Int, tag: String): Unit = {
+      if (opts.marginLineNumbers && pageNo > 1 && top != lastMarginTop) {
+        marginNumCounter += 1
+        lastMarginTop = top
+        xml.append(s"""\t<text top="$top" left="36" width="${marginNumCounter.toString.length * charW}" height="$lineH" font="0">$marginNumCounter</text>\n""")
+      }
+      xml.append(s"""\t<text top="$top" left="$left" width="${s.length * charW}" height="$lineH" font="$font">""")
+      xml.append(esc(s.substring(0, s0)))
+      xml.append(s"<$tag>").append(esc(s.substring(s0, e1))).append(s"</$tag>")
+      xml.append(esc(s.substring(e1)))
+      xml.append("</text>\n")
+    }
+
     def textLine(top: Int, left: Int, s: String, font: Int = 0): Unit = {
       if (opts.marginLineNumbers && pageNo > 1 && top != lastMarginTop) {
         marginNumCounter += 1
@@ -489,7 +523,36 @@ object ScreenplayGen {
             chrCounter += 1
             if (chrCounter % 3 == 1) lines.map(_ + " (CONT'D)") else lines
           } else lines
-        drawLines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s, font) }
+        if (kind == "Dialog" && opts.inlineStyles) {
+          // every third Dialog line styles its second word (alternating
+          // b/i); expected spans use INCLUSIVE code-point ends at the
+          // merged object's offsets (each line shifts by the joined
+          // prefix, exactly the engine's textAndSpans arithmetic)
+          val attrsB = Vector.newBuilder[(String, Int, Int)]
+          var pre = 0
+          lines.zipWithIndex.foreach { case (s, i) =>
+            styleCounter += 1
+            var styled = false
+            if (styleCounter % 3 == 0) {
+              val tag = if ((styleCounter / 3) % 2 == 0) "b" else "i"
+              val sp1 = s.indexOf(' ')
+              val s0 = if (sp1 < 0) 0 else sp1 + 1
+              val spN = s.indexOf(' ', s0)
+              val e1 = if (spN < 0) s.length else spN
+              if (e1 > s0) {
+                styledTextLine(top + i * 24, x, s, font, s0, e1, tag)
+                attrsB += ((tag, pre + s0, pre + e1 - 1))
+                styled = true
+              }
+            }
+            if (!styled) textLine(top + i * 24, x, s, font)
+            pre += s.length + 1
+          }
+          val a = attrsB.result()
+          if (a.nonEmpty) lineAttrs(expected.length) = a
+        } else {
+          drawLines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s, font) }
+        }
         top += (lines.length - 1) * 24
         if (font > 0) lineRevs(expected.length) = spansOf(lines, font - 1)
         expected += ((kind, lines.mkString(" "), curPageNum, givenOf(pageNo)))
@@ -592,10 +655,17 @@ object ScreenplayGen {
         }.toVector.sortBy(_._1)
       }
 
+    val lineAttrsExpected: Vector[String] =
+      if (!opts.inlineStyles) Vector.empty
+      else Vector.tabulate(expected.length) { i =>
+        lineAttrs.getOrElse(i, Vector.empty)
+          .map { case (t, s0, e0) => s"$t:$s0-$e0" }.sorted.mkString("|")
+      }
+
     Doc(xml.toString, expected.toVector,
       Vector.tabulate(expected.length)(i => dualAt.getOrElse(i, (0, false, false))),
       revExpected, voteExpected, lineRevsExpected,
-      (contTop, contBottom, contNum))
+      (contTop, contBottom, contNum), lineAttrsExpected)
   }
 
   /** blank lines the engine synthesizes between lastTopOffset and top

@@ -21,6 +21,7 @@ class CrossCorpusSpec extends AnyFunSuite {
     var totalDuals = 0
     var totalRevLines = 0
     var totalContPages = 0
+    var totalStyled = 0
     (0 until nSeeds).foreach { seed =>
       val elems = ScreenplayGen.elementsWithDual(seed.toLong, 7 + seed % 5)
       val nDuals = elems.count(_.isInstanceOf[ScreenplayGen.Dual])
@@ -29,7 +30,8 @@ class CrossCorpusSpec extends AnyFunSuite {
         marginLineNumbers = true,
         sceneNumbers = true,
         contdMarkers = true,
-        continuedBands = true))
+        continuedBands = true,
+        inlineStyles = true))
       val t = ExtractTurn.extract(doc.xml)
       assert(t.format == "pdfxml", s"seed $seed: format ${t.format}")
 
@@ -73,6 +75,19 @@ class CrossCorpusSpec extends AnyFunSuite {
           s"want=${doc.lineRevsExpected.lift(bad)}")
       }
 
+      // 4b. per-line b/i attr spans (inclusive ends, canonical)
+      val gotAttrs = t.lines.map(_.attrs
+        .map { case (k, s0, e0) => s"$k:$s0-$e0" }.sorted.mkString("|")).toVector
+      locally {
+        var bad = -1; var i = 0
+        while (i < gotAttrs.size && bad < 0) {
+          if (gotAttrs(i) != doc.lineAttrsExpected(i)) bad = i; i += 1
+        }
+        assert(bad < 0, s"seed $seed line attrs mismatch at $bad " +
+          s"(${want.lift(bad)}): got=${gotAttrs.lift(bad)} " +
+          s"want=${doc.lineAttrsExpected.lift(bad)}")
+      }
+
       // 5. line-number side vote
       val gotVote = t.lineNumberSides.toVector
       assert(gotVote == doc.voteExpected,
@@ -86,11 +101,14 @@ class CrossCorpusSpec extends AnyFunSuite {
 
       totalDuals += nDuals
       totalRevLines += doc.lineRevsExpected.count(_.nonEmpty)
+      totalStyled += doc.lineAttrsExpected.count(_.nonEmpty)
       if (doc.contExpected._1) totalContPages += 1
     }
     assert(totalDuals >= 30, s"dual family too small: $totalDuals")
     assert(totalRevLines >= 100, s"colored-line family too small: $totalRevLines")
+    assert(totalStyled >= 30, s"styled-line family too small: $totalStyled")
     info(s"round-tripped $nSeeds cross-feature docs: $totalDuals duals, " +
-      s"$totalRevLines colored lines, $totalContPages docs with CONTINUED bands")
+      s"$totalRevLines colored lines, $totalStyled styled objects, " +
+      s"$totalContPages docs with CONTINUED bands")
   }
 }
