@@ -377,7 +377,8 @@ object Transcripts {
             sceneNumbers = true,
             contdMarkers = true,
             continuedBands = true,
-            inlineStyles = true))
+            inlineStyles = true,
+            fragmentJitter = true))
         val revTable = doc.revExpected
           .map { case (rank, name, color, _) => s"$rank:$name:$color" }.mkString(";")
         val votes = doc.voteExpected

@@ -219,11 +219,6 @@ object ScreenplayGen {
     var sceneCounter = 0
     var chrCounter = 0
     var styleCounter = 0
-    /** spans of a colored multi-line piece in its space-joined object text */
-    def spansOf(ls: Vector[String], revId: Int): Vector[(Int, Int, Int)] = {
-      var off = 0
-      ls.map { l => val sp = (revId, off, off + l.length); off += l.length + 1; sp }
-    }
 
     var pageNo = 0 // printed page number
     var bodyPageCount = 0
@@ -278,6 +273,14 @@ object ScreenplayGen {
 
     val jitterRnd = new java.util.SplittableRandom(0x5eed)
     var marginNumCounter = 0
+    /** fragment char ranges (in line-local offsets) emitted by the LAST
+      * textLine call — [(0, len)] unsplit, [(0, mid+1), (mid+1, len)]
+      * under fragmentJitter. Span expectations read this instead of
+      * re-deriving the split, so generator and expectation can never
+      * disagree on where a jittered line broke.
+      */
+    var lastFragSpans: Vector[(Int, Int)] = Vector.empty
+
 
     /** textLine variant with one styled child: the line's [s0, e1)
       * char range renders inside a <tag> element (tag = "b"/"i").
@@ -294,6 +297,7 @@ object ScreenplayGen {
       xml.append(s"<$tag>").append(esc(s.substring(s0, e1))).append(s"</$tag>")
       xml.append(esc(s.substring(e1)))
       xml.append("</text>\n")
+      lastFragSpans = Vector((0, s.length))
     }
 
     def textLine(top: Int, left: Int, s: String, font: Int = 0): Unit = {
@@ -317,8 +321,10 @@ object ScreenplayGen {
         val jitter = jitterRnd.nextInt(5) - 2 // -2..2
         xml.append(s"""\t<text top="$top" left="$left" width="${a.length * charW}" height="$lineH" font="$font">${esc(a)}</text>\n""")
         xml.append(s"""\t<text top="${top + jitter}" left="$leftB" width="${b.length * charW}" height="$lineH" font="$font">${esc(b)}</text>\n""")
+        lastFragSpans = Vector((0, mid + 1), (mid + 1, s.length))
       } else {
         xml.append(s"""\t<text top="$top" left="$left" width="${s.length * charW}" height="$lineH" font="$font">${esc(s)}</text>\n""")
+        lastFragSpans = Vector((0, s.length))
       }
     }
 
@@ -425,10 +431,18 @@ object ScreenplayGen {
       textLine(top, 480, d.nameR)
       var i = 0
       val nRows = math.max(d.linesL.length, d.linesR.length)
+      val leftFrags = new Array[Vector[(Int, Int)]](d.linesL.length)
+      val rightFrags = new Array[Vector[(Int, Int)]](d.linesR.length)
       while (i < nRows) {
         top += 24
-        if (i < d.linesL.length) textLine(top, 180, d.linesL(i), fontL)
-        if (i < d.linesR.length) textLine(top, 450, d.linesR(i), fontR)
+        if (i < d.linesL.length) {
+          textLine(top, 180, d.linesL(i), fontL)
+          leftFrags(i) = lastFragSpans
+        }
+        if (i < d.linesR.length) {
+          textLine(top, 450, d.linesR(i), fontR)
+          rightFrags(i) = lastFragSpans
+        }
         i += 1
       }
       // Engine-faithful span derivation through the dual splice: the
@@ -444,22 +458,28 @@ object ScreenplayGen {
       // quick." leaves the LEFT object span (0,10) (its phantom right
       // span clamps to degenerate) and the RIGHT object the quirky
       // triple (0,10),(10,38),(18,38).
-      // line-level spans per dual row, each under ITS fragment's color:
-      // (revId, start, endExcl) in the row's assembled-line offsets
+      // line-level spans per dual row, each under ITS fragment's color,
+      // one span PER EMITTED FRAGMENT (jitter can split the right column
+      // into two abutting fragments): (revId, start, endExcl) in the
+      // row's assembled-line offsets. The FIRST right fragment's span
+      // starts BEFORE its inter-column gap spaces (:515-524); subsequent
+      // right fragments abut (zero gap).
       def lineSpans(i: Int): Vector[(Int, Int, Int)] = {
-        val hasL = i < d.linesL.length && fontL > 0
-        val hasR0 = i < d.linesR.length && fontR > 0
-        val lenL = if (i < d.linesL.length) d.linesL(i).length else 0
+        val hasL = i < d.linesL.length
+        val lenL = if (hasL) d.linesL(i).length else 0
         val out = Vector.newBuilder[(Int, Int, Int)]
-        if (hasL) out += ((fontL - 1, 0, lenL))
-        if (hasR0) {
-          val start =
-            if (i < d.linesL.length) {
-              val gap = (450 - (180 + charW * lenL)) / charW
-              // right frag's span starts BEFORE its gap spaces (:515-524)
-              (lenL, lenL + gap + d.linesR(i).length)
-            } else (0, d.linesR(i).length)
-          out += ((fontR - 1, start._1, start._2))
+        if (hasL && fontL > 0)
+          leftFrags(i).foreach { case (fs, fe) => out += ((fontL - 1, fs, fe)) }
+        if (i < d.linesR.length && fontR > 0) {
+          if (hasL) {
+            val gap = (450 - (180 + charW * lenL)) / charW
+            rightFrags(i).zipWithIndex.foreach { case ((fs, fe), k) =>
+              val s0 = if (k == 0) lenL else lenL + gap + fs
+              out += ((fontR - 1, s0, lenL + gap + fe))
+            }
+          } else {
+            rightFrags(i).foreach { case (fs, fe) => out += ((fontR - 1, fs, fe)) }
+          }
         }
         out.result()
       }
@@ -523,6 +543,7 @@ object ScreenplayGen {
             chrCounter += 1
             if (chrCounter % 3 == 1) lines.map(_ + " (CONT'D)") else lines
           } else lines
+        val fragsPerLine = new Array[Vector[(Int, Int)]](drawLines.length)
         if (kind == "Dialog" && opts.inlineStyles) {
           // every third Dialog line styles its second word (alternating
           // b/i); expected spans use INCLUSIVE code-point ends at the
@@ -546,15 +567,30 @@ object ScreenplayGen {
               }
             }
             if (!styled) textLine(top + i * 24, x, s, font)
+            fragsPerLine(i) = lastFragSpans
             pre += s.length + 1
           }
           val a = attrsB.result()
           if (a.nonEmpty) lineAttrs(expected.length) = a
         } else {
-          drawLines.zipWithIndex.foreach { case (s, i) => textLine(top + i * 24, x, s, font) }
+          drawLines.zipWithIndex.foreach { case (s, i) =>
+            textLine(top + i * 24, x, s, font)
+            fragsPerLine(i) = lastFragSpans
+          }
         }
         top += (lines.length - 1) * 24
-        if (font > 0) lineRevs(expected.length) = spansOf(lines, font - 1)
+        if (font > 0) {
+          // one color span PER EMITTED FRAGMENT: a jitter-split line
+          // contributes two abutting spans (the gap between abutting
+          // fragments is zero, so line-level offsets equal local ones)
+          var pre = 0
+          val rb = Vector.newBuilder[(Int, Int, Int)]
+          lines.zipWithIndex.foreach { case (s, i) =>
+            fragsPerLine(i).foreach { case (fs, fe) => rb += ((font - 1, pre + fs, pre + fe)) }
+            pre += s.length + 1
+          }
+          lineRevs(expected.length) = rb.result()
+        }
         expected += ((kind, lines.mkString(" "), curPageNum, givenOf(pageNo)))
       }
     }

@@ -31,7 +31,8 @@ class CrossCorpusSpec extends AnyFunSuite {
         sceneNumbers = true,
         contdMarkers = true,
         continuedBands = true,
-        inlineStyles = true))
+        inlineStyles = true,
+        fragmentJitter = true))
       val t = ExtractTurn.extract(doc.xml)
       assert(t.format == "pdfxml", s"seed $seed: format ${t.format}")
 
