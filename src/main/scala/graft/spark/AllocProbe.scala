@@ -9,7 +9,8 @@ object AllocProbe {
       // check: dual flags, revision tables, line-number vote rows
       (0L until 10L).flatMap(k => Transcripts.dualTurnsFor(4242L, k, 4).map(_._1.text)) ++
       (0L until 10L).flatMap(k => Transcripts.revTurnsFor(777L, k, 4).map(_._1.text)) ++
-      (0L until 10L).flatMap(k => Transcripts.numberedTurnsFor(555L, k, 4).map(_._1.text))
+      (0L until 10L).flatMap(k => Transcripts.numberedTurnsFor(555L, k, 4).map(_._1.text)) ++
+      (0L until 10L).flatMap(k => Transcripts.crossTurnsFor(3131L, k, 4).map(_._1.text))
     System.err.println(s"${docs.size} docs")
     val tmx = java.lang.management.ManagementFactory.getThreadMXBean
       .asInstanceOf[com.sun.management.ThreadMXBean]

@@ -37,14 +37,19 @@ class UnsafeRowEquivalenceSpec extends AnyFunSuite {
     docs.foreach(t => assertEquivalent(t.text, "mixed"))
   }
 
-  test("direct writer matches generic path on dual/rev/numbered corpora") {
+  test("direct writer matches generic path on dual/rev/numbered/cross corpora") {
     val dual = (0L until 6L).flatMap(k => Transcripts.dualTurnsFor(4242L, k, 4))
     val rev = (0L until 6L).flatMap(k => Transcripts.revTurnsFor(777L, k, 4))
     val num = (0L until 6L).flatMap(k => Transcripts.numberedTurnsFor(555L, k, 4))
-    assert(dual.nonEmpty && rev.nonEmpty && num.nonEmpty)
+    // the cross corpus is the only one with NON-EMPTY attrs arrays (b/i
+    // spans), so it alone exercises the writer's attrs struct encoding
+    val cross = (0L until 6L).flatMap(k => Transcripts.crossTurnsFor(3131L, k, 4))
+    assert(dual.nonEmpty && rev.nonEmpty && num.nonEmpty && cross.nonEmpty)
+    assert(cross.exists(_._2.exists(_.attrs.nonEmpty)), "cross corpus lost its styled lines")
     dual.foreach(t => assertEquivalent(t._1.text, "dual"))
     rev.foreach(t => assertEquivalent(t._1.text, "rev"))
     num.foreach(t => assertEquivalent(t._1.text, "numbered"))
+    cross.foreach(t => assertEquivalent(t._1.text, "cross"))
   }
 
   test("writer buffer past retention threshold is dropped, later encodes stay correct") {
