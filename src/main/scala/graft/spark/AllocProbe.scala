@@ -44,7 +44,7 @@ object AllocProbe {
     benchN("shakespeare: full parse", sh.size) { var s=0L; sh.foreach(x => s += graft.shakespeare.Shakespeare.parse(x).length); s }
     println(f"avg doc bytes: pdf ${pdf.map(_.length).sum / pdf.size}, sh ${sh.map(_.length).sum / sh.size}")
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-    val proj = UnsafeProjection.create(Array(BoundReference(0, ExtractTurn.schema, true)
+    val proj = UnsafeProjection.create(Seq(BoundReference(0, ExtractTurn.schema, true)
       : org.apache.spark.sql.catalyst.expressions.Expression))
     val holder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
     bench("extract only") { var s=0L; docs.foreach(x => s += ExtractTurn.extract(x).lines.size); s }

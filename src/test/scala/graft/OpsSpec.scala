@@ -405,7 +405,7 @@ class OpsSpec extends AnyFunSuite {
     val dupes = t.filter(col("tool").isin("pdftohtml", "shakespeare"))
       .orderBy(col("conv_id"), col("turn_idx")).limit(10)
       .withColumn("conv_id", concat(lit("dup_"), col("conv_id")))
-    t.union(dupes.select(t.columns.map(col): _*))
+    t.union(dupes.select(t.columns.toIndexedSeq.map(col): _*))
       .write.mode("overwrite").parquet(dir)
     val q = StreamingExtract.startMemory(
       StreamingExtract.dedupedStream(StreamingExtract.readTranscripts(sp, dir)),

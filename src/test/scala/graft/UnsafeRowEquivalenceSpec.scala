@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class UnsafeRowEquivalenceSpec extends AnyFunSuite {
 
   private val proj = UnsafeProjection.create(
-    Array(BoundReference(0, ExtractTurn.schema, true): Expression))
+    Seq(BoundReference(0, ExtractTurn.schema, true): Expression))
   private val holder = new GenericInternalRow(1)
 
   private def assertEquivalent(text: String, label: String): Unit = {
