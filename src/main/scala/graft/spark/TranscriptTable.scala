@@ -38,6 +38,13 @@ object TranscriptTable {
 
   final case class Counters(turns: Long, bytes: Long, mismatches: Long)
 
+  /** drain a java.nio directory stream and CLOSE it — Files.walk/list
+    * hold an open directory descriptor until closed, and a long-lived
+    * driver calling these per bucket/snapshot would leak them
+    */
+  private def drained[A, B](stream: java.util.stream.Stream[A])(f: Iterator[A] => B): B =
+    try f(stream.iterator.asScala) finally stream.close()
+
   /** One manifest entry: the bucket a data file belongs to and its path
     * relative to the table root. */
   final case class DataFile(bucket: Int, path: String)
@@ -54,13 +61,14 @@ object TranscriptTable {
     val base = Paths.get(snapDataDir(root, snapshotId))
     if (!Files.isDirectory(base)) return Vector.empty
     val rootPath = Paths.get(root)
-    val out = Files.walk(base).iterator.asScala
-      .filter(p => p.toString.endsWith(".parquet"))
-      .map { p =>
-        val rel = rootPath.relativize(p).toString
-        val bucket = p.getParent.getFileName.toString.stripPrefix("bucket=").toInt
-        DataFile(bucket, rel)
-      }.toVector
+    val out = drained(Files.walk(base)) { it =>
+      it.filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = rootPath.relativize(p).toString
+          val bucket = p.getParent.getFileName.toString.stripPrefix("bucket=").toInt
+          DataFile(bucket, rel)
+        }.toVector
+    }
     out.sortBy(_.path)
   }
 
@@ -171,10 +179,12 @@ object TranscriptTable {
       sys.error(s"no current snapshot at $root"))
     require(keep.contains(cur), s"keep set must include current snapshot $cur")
     val meta = Paths.get(root, "metadata")
-    val all = Files.list(meta).iterator.asScala.map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toVector
+    val all = drained(Files.list(meta)) {
+      _.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toVector
+    }
     val referenced = keep.flatMap(id => readManifest(root, id).map(_.path))
     all.filterNot(keep).foreach { id =>
       listDataFiles(root, id).foreach { f =>
@@ -216,11 +226,12 @@ object TranscriptTable {
   def committedBuckets(outRoot: String): Set[Int] = {
     val dir = checkpointDir(outRoot)
     if (!Files.isDirectory(dir)) Set.empty
-    else Files.list(dir).iterator.asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
-        s.stripPrefix("bucket-").stripSuffix(".json").toInt }
-      .toSet
+    else drained(Files.list(dir)) {
+      _.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+          s.stripPrefix("bucket-").stripSuffix(".json").toInt }
+        .toSet
+    }
   }
 
   def commitBucket(outRoot: String, bucket: Int, snapshotId: Long,
@@ -242,15 +253,17 @@ object TranscriptTable {
   def readCounters(outRoot: String): Counters = {
     val dir = checkpointDir(outRoot)
     if (!Files.isDirectory(dir)) return Counters(0, 0, 0)
-    Files.list(dir).iterator.asScala.filter(_.toString.endsWith(".json"))
-      .map(p => Json.parse(Files.readString(p)))
-      .foldLeft(Counters(0, 0, 0)) { (acc, m) =>
+    drained(Files.list(dir)) {
+      _.filter(_.toString.endsWith(".json"))
+        .map(p => Json.parse(Files.readString(p)))
+        .foldLeft(Counters(0, 0, 0)) { (acc, m) =>
         val c = m("counters")
         Counters(
           acc.turns + c("turns_parsed").asLong,
           acc.bytes + c("bytes_tokenized").asLong,
           acc.mismatches + c("extraction_mismatches").asLong)
-      }
+        }
+    }
   }
 
   /** Checkpointed extraction run: reads the bucketed transcripts table,

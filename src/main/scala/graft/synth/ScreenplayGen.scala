@@ -41,9 +41,11 @@ object ScreenplayGen {
       voteExpected: Vector[(String, Boolean, Boolean)] = Vector.empty,
       /** revision-mode per-line expectation, aligned 1:1 with expected:
         * the canonical rendering of each line's revision spans —
-        * "w:s-e|w:s-e" sorted by (w, s), "" when the line has none. w is
-        * the revision's weight (= index into the final revisions list),
-        * s/e the span's code-point [start, end) in the object text. */
+        * "w:s-e" tokens sorted LEXICOGRAPHICALLY and joined with "|"
+        * (matches a Spark-side sort_array), "" when the line has none.
+        * w is the revision's weight (= index into the final revisions
+        * list), s/e the span's code-point [start, end) in the object
+        * text. */
       lineRevsExpected: Vector[String] = Vector.empty,
       /** continuedBands-mode expectation: the turn-level
         * (scene_continued_top, scene_continued_bottom,
