@@ -370,7 +370,7 @@ object Transcripts {
       if (role == "assistant") {
         val docSeed = seed ^ (k * 611953L + ti)
         val doc = ScreenplayGen.render(
-          ScreenplayGen.elementsWithDual(docSeed, 7 + r.nextInt(5)),
+          ScreenplayGen.elementsWithDualTight(docSeed, 7 + r.nextInt(5)),
           ScreenplayGen.Options(
             revisions = revPalette,
             marginLineNumbers = true,

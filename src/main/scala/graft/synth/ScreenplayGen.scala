@@ -27,10 +27,16 @@ object ScreenplayGen {
   final case class Par(text: String) extends Elem
   final case class Trans(text: String) extends Elem
   /** side-by-side dual dialog (C10): left/right Character rows share a
-    * top, dialog columns at the canonical dual offsets
+    * top, dialog columns at the canonical dual offsets. `tight` = left
+    * lines long enough (27-35 chars) that the inter-column gap falls
+    * under 12 spaces, so each row assembles into ONE block piece and the
+    * recovery must take its gap-SPLIT path (ParseText.php:1455-1496) —
+    * which, per the reference, rebuilds the right column with EMPTY
+    * colors/attrs maps (the right dual object loses its revision spans).
+    * Tight duals always have equal row counts.
     */
   final case class Dual(nameL: String, linesL: Vector[String],
-      nameR: String, linesR: Vector[String]) extends Elem
+      nameR: String, linesR: Vector[String], tight: Boolean = false) extends Elem
 
   final case class Doc(xml: String, expected: Vector[(String, String, Int, String)],
       dualMeta: Vector[(Int, Boolean, Boolean)] = Vector.empty,
@@ -107,6 +113,37 @@ object ScreenplayGen {
       }
     }
     out.toVector
+  }
+
+  /** [[elementsWithDual]] plus TIGHT duals (every third dual): the
+    * gap-split recovery path family. A separate stream so the q32 dual
+    * corpus and its goldens stay byte-identical.
+    */
+  def elementsWithDualTight(seed: Long, nScenes: Int): Vector[Elem] = {
+    val r = new java.util.SplittableRandom(seed ^ 0x719A7L)
+    var dualIdx = 0
+    elementsWithDual(seed, nScenes).map {
+      case d: Dual =>
+        dualIdx += 1
+        if (dualIdx % 3 == 0) {
+          // left lines sized 27-35 chars: the assembled row's column gap
+          // is then 3-11 spaces (< 12, one piece; >= 3, a splittable run)
+          def tightLine(): String = {
+            var s = sentence(r, 5)
+            var tries = 0
+            while ((s.length < 27 || s.length > 35) && tries < 30) {
+              s = sentence(r, 4 + r.nextInt(3)); tries += 1
+            }
+            while (s.length < 27) s = s.dropRight(1) + " just about now."
+            if (s.length > 35) s = s.substring(0, 34).trim + "."
+            s
+          }
+          val n = 1 + r.nextInt(3)
+          Dual(d.nameL, Vector.fill(n)(tightLine()),
+            d.nameR, Vector.fill(n)(sentence(r, 2 + r.nextInt(2))), tight = true)
+        } else d
+      case e => e
+    }
   }
 
   /** A seeded screenplay element stream. */
@@ -234,8 +271,14 @@ object ScreenplayGen {
     var curPrimary = -1
     var curSecondary = -1 // -1: single-color page plan
     var diaOnPage = 0
-    // per body page: (header name, colored rev ids in first-use order)
-    val revPageLog = ArrayBuffer.empty[(String, ArrayBuffer[Int])]
+    // per body page: (header name, DRAWN colored rev ids in first-use
+    // order, OBJECT-LEVEL colored rev ids). The two differ exactly when a
+    // tight dual's right column loses its color through the recovery's
+    // gap-split path (empty colors maps, ParseText.php:1455-1496): key
+    // pages derive from fontspec/frag colors (drawn), but the engine's
+    // revision second pass walks OBJECT colors (Parser.php:311-405), so
+    // the bump must be simulated over what the objects actually carry.
+    val revPageLog = ArrayBuffer.empty[(String, ArrayBuffer[Int], ArrayBuffer[Int])]
     val revSpans = mutable.Map.empty[Int, Long]
 
     var lastMarginTop = -1 // one margin token per rendered row (dual rows draw twice)
@@ -385,7 +428,8 @@ object ScreenplayGen {
           curSecondary = -1
         }
         diaOnPage = 0
-        revPageLog += ((revPalette(curPrimary)._1, ArrayBuffer.empty[Int]))
+        revPageLog += ((revPalette(curPrimary)._1, ArrayBuffer.empty[Int],
+          ArrayBuffer.empty[Int]))
         openPage(revPalette(curPrimary)._1)
       } else openPage()
       bodyPageCount += 1
@@ -401,13 +445,14 @@ object ScreenplayGen {
       * font id and mixed pages never key-bind (3 ids >= the reference's
       * limit, ParseText.php:923-968).
       */
-    def fontFor(kind: String, nLines: Int): Int =
+    def fontFor(kind: String, nLines: Int, objectLevel: Boolean = true): Int =
       if (revPalette.isEmpty || kind != "Dialog" || curPrimary < 0) 0
       else {
         diaOnPage += 1
         val rv = if (diaOnPage == 2 && curSecondary >= 0) curSecondary else curPrimary
         if (curSecondary < 0 && !keyBound.contains(curPrimary)) keyBound += curPrimary
         revPageLog.last._2 += rv
+        if (objectLevel) revPageLog.last._3 += rv
         revSpans(rv) = revSpans.getOrElse(rv, 0L) + nLines
         1 + rv
       }
@@ -428,7 +473,31 @@ object ScreenplayGen {
       // pieces as far as the page's revision plan is concerned) — the
       // splice must carry the color spans through to the merged objects
       val fontL = fontFor("Dialog", d.linesL.length)
-      val fontR = fontFor("Dialog", d.linesR.length)
+      // Does the RIGHT column's color survive anywhere at OBJECT level?
+      // Every span of it can clamp degenerate (maybe_break_up_last_dialog
+      // clamps Dialog spans to [0, len)): in the LEFT object the phantom
+      // span (pre_i + lenL_i, ...) survives iff some row precedes the
+      // last left row (nL >= 2); in the RIGHT object (clean path only —
+      // the tight/gap-split path rebuilds the right column with empty
+      // color maps) a span survives iff a right-only row exists
+      // (nR > nL) or some row's pre_R(i) + lenL_i < totalR. The engine's
+      // revision second pass walks object colors (Parser.php:311-405),
+      // so a color that survives nowhere must stay out of the simulated
+      // page set — seed-65 regression: a 1x1 dual carrying the page's
+      // only secondary-color line dropped it entirely.
+      val objectLevelR: Boolean = {
+        val nL = d.linesL.length; val nR = d.linesR.length
+        if (d.tight) nR >= 2
+        else {
+          val viaLeft = nL >= 2
+          val totalR = d.linesR.map(_.length).sum + (nR - 1)
+          val preR = d.linesR.indices.map(i => d.linesR.take(i).map(_.length + 1).sum)
+          val viaRight = nR > nL ||
+            (0 until math.min(nL, nR)).exists(i => preR(i) + d.linesL(i).length < totalR)
+          viaLeft || viaRight
+        }
+      }
+      val fontR = fontFor("Dialog", d.linesR.length, objectLevel = objectLevelR)
       textLine(top, xDia, d.nameL)
       textLine(top, 480, d.nameR)
       var i = 0
@@ -506,7 +575,11 @@ object ScreenplayGen {
       expected += (("Character", d.nameR, curPageNum, givenOf(pageNo)))
       dualAt(expected.length) = (2, false, false)
       locally {
-        val sp = colSpans(d.linesR)
+        // tight duals go through the recovery's gap-SPLIT path, which
+        // rebuilds the right column with EMPTY colors/attrs maps
+        // (ParseText.php:1455-1496 passes none into the new pieces) —
+        // the right object therefore carries NO revision spans
+        val sp = if (d.tight) Vector.empty else colSpans(d.linesR)
         if (sp.nonEmpty) lineRevs(expected.length) = sp
       }
       expected += (("Dialog", d.linesR.mkString(" "), curPageNum, givenOf(pageNo)))
@@ -641,10 +714,10 @@ object ScreenplayGen {
       else {
         val weights = ArrayBuffer.empty[Int]
         for (c <- revPalette.indices)
-          if (revPageLog.exists { case (_, cols) => cols.nonEmpty && cols.distinct == Seq(c) })
+          if (revPageLog.exists { case (_, cols, _) => cols.nonEmpty && cols.distinct == Seq(c) })
             weights += c
-        for ((hdr, colsBuf) <- revPageLog; if colsBuf.nonEmpty) {
-          val cols = colsBuf.toVector.distinct
+        for ((hdr, _, objColsBuf) <- revPageLog; if objColsBuf.nonEmpty) {
+          val cols = objColsBuf.toVector.distinct
           val headerIdx = cols.find(ci => weights.contains(ci) && revPalette(ci)._1 == hdr)
           val h = headerIdx.map(weights.indexOf)
           val others = cols.filter(ci => !headerIdx.contains(ci) && weights.contains(ci))

@@ -22,9 +22,11 @@ class CrossCorpusSpec extends AnyFunSuite {
     var totalRevLines = 0
     var totalContPages = 0
     var totalStyled = 0
+    var totalTight = 0
     (0 until nSeeds).foreach { seed =>
-      val elems = ScreenplayGen.elementsWithDual(seed.toLong, 7 + seed % 5)
+      val elems = ScreenplayGen.elementsWithDualTight(seed.toLong, 7 + seed % 5)
       val nDuals = elems.count(_.isInstanceOf[ScreenplayGen.Dual])
+      val nTight = elems.count { case d: ScreenplayGen.Dual => d.tight; case _ => false }
       val doc = ScreenplayGen.render(elems, ScreenplayGen.Options(
         revisions = Transcripts.revPalette,
         marginLineNumbers = true,
@@ -101,14 +103,17 @@ class CrossCorpusSpec extends AnyFunSuite {
         s"seed $seed cont flags: got=$gotCont want=${doc.contExpected}")
 
       totalDuals += nDuals
+      totalTight += nTight
       totalRevLines += doc.lineRevsExpected.count(_.nonEmpty)
       totalStyled += doc.lineAttrsExpected.count(_.nonEmpty)
       if (doc.contExpected._1) totalContPages += 1
     }
     assert(totalDuals >= 30, s"dual family too small: $totalDuals")
+    assert(totalTight >= 8, s"tight-dual (gap-split path) family too small: $totalTight")
     assert(totalRevLines >= 100, s"colored-line family too small: $totalRevLines")
     assert(totalStyled >= 30, s"styled-line family too small: $totalStyled")
     info(s"round-tripped $nSeeds cross-feature docs: $totalDuals duals, " +
+      s"($totalTight tight/gap-split), " +
       s"$totalRevLines colored lines, $totalStyled styled objects, " +
       s"$totalContPages docs with CONTINUED bands")
   }
