@@ -51,16 +51,18 @@ object Bench {
     val buf = new Array[Byte](1 << 20)
     var bytes = 0L
     val t0 = System.nanoTime()
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(p => p.toString.endsWith(".parquet")).iterator()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
     var sink = 0
-    while (files.hasNext && bytes < (256L << 20)) {
-      val in = java.nio.file.Files.newInputStream(files.next())
-      try {
-        var n = in.read(buf)
-        while (n > 0 && bytes < (256L << 20)) { bytes += n; sink ^= buf(0); n = in.read(buf) }
-      } finally in.close()
-    }
+    try {
+      val files = walk.filter(p => p.toString.endsWith(".parquet")).iterator()
+      while (files.hasNext && bytes < (256L << 20)) {
+        val in = java.nio.file.Files.newInputStream(files.next())
+        try {
+          var n = in.read(buf)
+          while (n > 0 && bytes < (256L << 20)) { bytes += n; sink ^= buf(0); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally walk.close()
     val secs = (System.nanoTime() - t0) / 1e9
     if (sink == Int.MinValue) println("") // defeat DCE
     if (secs > 0) bytes / secs / 1e6 else 0.0

@@ -319,7 +319,9 @@ object XmlTok {
   private def internValue(xml: String, from: Int, to: Int): String = {
     val len = to - from
     if (len == 0) return ""
-    if (len <= 4) {
+    // leading zeros excluded: "007" must stay "007" — string-level
+    // consumers (fontspec ID keys) distinguish "01" from "1"
+    if (len <= 4 && (len == 1 || xml.charAt(from) != '0')) {
       var v = 0
       var i = from
       var digits = true

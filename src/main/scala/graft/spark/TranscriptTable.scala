@@ -76,6 +76,11 @@ object TranscriptTable {
       schemaJson: String, manifest: Vector[DataFile]): Unit = {
     val meta = Paths.get(root, "metadata")
     Files.createDirectories(meta)
+    // data files are IMMUTABLE per snapshot: re-writing an existing id
+    // would Overwrite data/snap-<id> files that other manifests may
+    // still reference — enforce, don't just document
+    require(!Files.exists(meta.resolve(s"snapshot-$snapshotId.json")),
+      s"snapshot $snapshotId already exists at $root — snapshot ids are immutable, use a new id")
     val snap = Obj.of(
       "snapshot_id" -> Num(snapshotId.toDouble),
       "format" -> Str("parquet"),
@@ -191,6 +196,18 @@ object TranscriptTable {
         if (!referenced.contains(f.path)) Files.deleteIfExists(Paths.get(root, f.path))
       }
       Files.deleteIfExists(meta.resolve(s"snapshot-$id.json"))
+      // if no kept manifest references anything under this snapshot's
+      // dir, remove the whole tree — otherwise expired snapshots leave
+      // empty bucket=N dirs and _SUCCESS/.crc litter forever
+      val snapRel = s"data/snap-$id"
+      if (!referenced.exists(_.startsWith(snapRel + "/"))) {
+        val dir = Paths.get(root, snapRel)
+        if (Files.isDirectory(dir)) {
+          drained(Files.walk(dir)) {
+            _.toVector.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+          }
+        }
+      }
     }
   }
 
@@ -282,7 +299,8 @@ object TranscriptTable {
     */
   def extractWithCheckpoints(spark: SparkSession, tableRoot: String,
       outRoot: String, nBuckets: Int, maxConcurrent: Int = 1): Counters = {
-    val snapshotId = currentSnapshotId(tableRoot).getOrElse(0L)
+    val snapshotId = currentSnapshotId(tableRoot).getOrElse(
+      sys.error(s"no current snapshot at $tableRoot (missing metadata/current.json)"))
     // buckets resolve through the current snapshot's manifest (a bucket's
     // files always come from one snapshot dir: full writes land them
     // together and overwriteBucket replaces a bucket wholesale)

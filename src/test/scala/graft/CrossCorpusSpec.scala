@@ -108,10 +108,10 @@ class CrossCorpusSpec extends AnyFunSuite {
       totalStyled += doc.lineAttrsExpected.count(_.nonEmpty)
       if (doc.contExpected._1) totalContPages += 1
     }
-    assert(totalDuals >= 30, s"dual family too small: $totalDuals")
-    assert(totalTight >= 8, s"tight-dual (gap-split path) family too small: $totalTight")
-    assert(totalRevLines >= 100, s"colored-line family too small: $totalRevLines")
-    assert(totalStyled >= 30, s"styled-line family too small: $totalStyled")
+    assert(totalDuals >= nSeeds, s"dual family too small: $totalDuals")
+    assert(totalTight >= nSeeds / 4, s"tight-dual (gap-split path) family too small: $totalTight")
+    assert(totalRevLines >= 3 * nSeeds, s"colored-line family too small: $totalRevLines")
+    assert(totalStyled >= nSeeds, s"styled-line family too small: $totalStyled")
     info(s"round-tripped $nSeeds cross-feature docs: $totalDuals duals, " +
       s"($totalTight tight/gap-split), " +
       s"$totalRevLines colored lines, $totalStyled styled objects, " +
