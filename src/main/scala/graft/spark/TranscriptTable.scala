@@ -193,7 +193,13 @@ object TranscriptTable {
     val referenced = keep.flatMap(id => readManifest(root, id).map(_.path))
     all.filterNot(keep).foreach { id =>
       listDataFiles(root, id).foreach { f =>
-        if (!referenced.contains(f.path)) Files.deleteIfExists(Paths.get(root, f.path))
+        if (!referenced.contains(f.path)) {
+          val p = Paths.get(root, f.path)
+          Files.deleteIfExists(p)
+          // the local FS committer writes a checksum sibling per file;
+          // delete it too or expired buckets keep .crc litter
+          Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
+        }
       }
       Files.deleteIfExists(meta.resolve(s"snapshot-$id.json"))
       // if no kept manifest references anything under this snapshot's

@@ -164,6 +164,29 @@ class SparkPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TranscriptTable.expireSnapshots(root, keep = Set(1L))
     }
+    // snapshot 1's dir tree is fully gone (snap-2's manifest references
+    // files under snap-1 for the untouched buckets, so those SURVIVE and
+    // the snap-1 dir itself must remain; only its replaced bucket-1
+    // files were deleted)
+    val snap1 = java.nio.file.Paths.get(root, "data", "snap-1")
+    assert(java.nio.file.Files.isDirectory(snap1),
+      "snap-1 dir must survive while snapshot 2 references its files")
+    assert(!java.nio.file.Files.isDirectory(snap1.resolve("bucket=1")) ||
+      java.nio.file.Files.list(snap1.resolve("bucket=1")).count() == 0,
+      "snap-1's replaced bucket-1 data files must be gone")
+    // snapshot ids are immutable: re-writing an existing id must refuse
+    intercept[IllegalArgumentException] {
+      TranscriptTable.write(t, root, nBuckets, snapshotId = 2L)
+    }
+    // a fully-unreferenced expired snapshot loses its whole dir tree:
+    // overwrite bucket 1 again (snap 3), then expire snapshot 2 — its
+    // OWN dir (only bucket-1 files) is no longer referenced by snap 3
+    TranscriptTable.overwriteBucket(newB1, root, 1, 3L) // back to 1x bucket 1
+    TranscriptTable.expireSnapshots(root, keep = Set(3L))
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "data", "snap-2")),
+      "expired snapshot 2's unreferenced dir tree must be removed")
+    assert(TranscriptTable.read(sp, root).count() == total1)
   }
 
   test("iceberg-style table: bucketed write, checkpointed extract, resume") {
