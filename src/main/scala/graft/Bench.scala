@@ -46,6 +46,14 @@ object Bench {
     * IO contention (BENCH_r04's pristine block read 7x slow on an
     * idle-CPU window); a slow probe here labels a storage/page-cache
     * -contended window in the artifact itself.
+    *
+    * CAVEAT (round-5 advice): the corpus was just materialized, so these
+    * files are typically page-cache-resident and the probe mostly measures
+    * memory bandwidth — it is a LOWER-BOUND contention signal only (a low
+    * reading proves a contended window; a high one does not prove idle
+    * storage). Dropping caches isn't possible here and the host has more
+    * RAM (128 GiB) than any readable file set, so the artifact JSON labels
+    * the number `io_probe_cache` accordingly.
     */
   private def ioProbe(dir: String): Double = {
     val buf = new Array[Byte](1 << 20)
@@ -186,7 +194,10 @@ object Bench {
     j ++= ",\"run_secs\":" ++= ex.runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     j ++= ",\"warm_secs\":" ++= ex.warmSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     j ++= ",\"gc_ms\":" ++= ex.gcMs.mkString("[", ",", "]")
+    // io_probe_cache: files are page-cache-warm (just materialized), so this
+    // is a lower-bound contention signal only — see ioProbe's scaladoc
     j ++= ",\"io_probe_mb_s\":" ++= f"${ex.ioProbeMbS}%.0f"
+    j ++= ",\"io_probe_cache\":\"warm-lower-bound\""
     j ++= ",\"extract_only_turns_per_sec\":" ++= f"$exOnlyPerSec%.1f"
     j ++= ",\"extract_only_turns_per_sec_best\":" ++= f"$exOnlyPerSecBest%.1f"
     j ++= ",\"mismatches\":" ++= ex.mismatches.toString ++= "}"

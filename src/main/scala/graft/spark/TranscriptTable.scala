@@ -54,6 +54,21 @@ object TranscriptTable {
   private def snapDataDir(root: String, snapshotId: Long): String =
     s"$root/data/snap-$snapshotId"
 
+  /** Snapshot ids are immutable. This must run BEFORE any data write: the
+    * parquet writes in [[write]]/[[overwriteBucket]] use SaveMode.Overwrite
+    * on data/snap-<id>, so a duplicate id checked only at metadata-commit
+    * time would already have DELETED the existing snapshot's data files
+    * (still referenced by current/kept manifests) before the require fired,
+    * leaving the table unreadable behind a "rejected" write.
+    */
+  private def requireFreshSnapshot(root: String, snapshotId: Long): Unit = {
+    require(!Files.exists(Paths.get(root, "metadata", s"snapshot-$snapshotId.json")),
+      s"snapshot $snapshotId already exists at $root — snapshot ids are immutable, use a new id")
+    require(!Files.exists(Paths.get(snapDataDir(root, snapshotId))),
+      s"data dir for snapshot $snapshotId already exists at $root — " +
+        "snapshot ids are immutable (a failed write may have left the dir; remove it explicitly)")
+  }
+
   /** All parquet files under a snapshot data dir, as manifest entries with
     * root-relative paths; bucket parsed from the `bucket=N` path segment.
     */
@@ -76,9 +91,9 @@ object TranscriptTable {
       schemaJson: String, manifest: Vector[DataFile]): Unit = {
     val meta = Paths.get(root, "metadata")
     Files.createDirectories(meta)
-    // data files are IMMUTABLE per snapshot: re-writing an existing id
-    // would Overwrite data/snap-<id> files that other manifests may
-    // still reference — enforce, don't just document
+    // defense in depth: writers call requireFreshSnapshot BEFORE the data
+    // write (the load-bearing guard); this re-check catches a concurrent
+    // writer that raced past the first one
     require(!Files.exists(meta.resolve(s"snapshot-$snapshotId.json")),
       s"snapshot $snapshotId already exists at $root — snapshot ids are immutable, use a new id")
     val snap = Obj.of(
@@ -106,6 +121,7 @@ object TranscriptTable {
     */
   def write(df: DataFrame, root: String, nBuckets: Int, snapshotId: Long,
       filesPerBucket: Int = 4): Unit = {
+    requireFreshSnapshot(root, snapshotId)
     val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
     withBucket
       .repartition(nBuckets * filesPerBucket, col("bucket"),
@@ -130,14 +146,27 @@ object TranscriptTable {
     * the new manifest is the current one minus the bucket's old files plus
     * the new ones. Files of the previous snapshot are NOT deleted — the
     * old snapshot remains readable via [[readAt]] until expired.
+    *
+    * Input rows that don't hash to `bucket` are dropped (warned to stderr);
+    * if NO row hashes to it the write aborts before any metadata commit —
+    * a caller mistake (wrong bucket number / wrong conv_ids) must not
+    * silently become a bucket deletion in the new snapshot. Pass
+    * `allowEmpty = true` to intentionally empty the bucket.
     */
   def overwriteBucket(df: DataFrame, root: String, bucket: Int,
-      newSnapshotId: Long, filesPerBucket: Int = 4): Unit = {
+      newSnapshotId: Long, filesPerBucket: Int = 4,
+      allowEmpty: Boolean = false): Unit = {
+    requireFreshSnapshot(root, newSnapshotId)
     val curId = currentSnapshotId(root).getOrElse(
       sys.error(s"no current snapshot at $root"))
     val cur = snapshotMeta(root, curId)
     val nBuckets = cur("partition_spec")("n_buckets").asInt
+    // total/matched counters ride the write itself (one pass, no recount)
+    val obs = org.apache.spark.sql.Observation(s"graft_ow_${newSnapshotId}_b$bucket")
     df.withColumn("bucket", bucketCol(nBuckets))
+      .observe(obs, count(lit(1)).as("total"),
+        coalesce(sum(when(col("bucket") === bucket, 1L).otherwise(0L)), lit(0L))
+          .as("matched"))
       .filter(col("bucket") === bucket)
       .repartition(filesPerBucket,
         pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
@@ -146,9 +175,32 @@ object TranscriptTable {
       .option("parquet.block.size", (4 * 1024 * 1024).toString) // see write()
       .partitionBy("bucket")
       .parquet(snapDataDir(root, newSnapshotId))
+    // emptiness check rides the OUTPUT, not the observation: partitionBy
+    // writes no parquet files for zero rows, and precisely in that case AQE
+    // prunes the CollectMetrics node from the final plan (empty-relation
+    // propagation) so the observation map comes back EMPTY — the metrics
+    // are only a best-effort dropped-rows warning below
+    val newFiles = listDataFiles(root, newSnapshotId)
+    if (newFiles.isEmpty && !allowEmpty) {
+      // nothing committed yet (no snapshot json, current.json untouched);
+      // remove the orphan data dir so the id stays usable after the caller
+      // fixes their input
+      val dir = Paths.get(snapDataDir(root, newSnapshotId))
+      if (Files.isDirectory(dir)) drained(Files.walk(dir)) {
+        _.toVector.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+      sys.error(s"overwriteBucket: no input row hashes to bucket $bucket — " +
+        s"refusing to silently drop the bucket from snapshot $newSnapshotId; " +
+        "pass allowEmpty = true to empty it intentionally")
+    }
+    val m = obs.get
+    for (t <- m.get("total").map(_.asInstanceOf[Long]);
+         mt <- m.get("matched").map(_.asInstanceOf[Long]); if mt < t)
+      Console.err.println(s"[TranscriptTable] overwriteBucket: ${t - mt} " +
+        s"of $t input rows hash outside bucket $bucket and were dropped")
     val kept = readManifest(root, curId).filterNot(_.bucket == bucket)
     writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
-      kept ++ listDataFiles(root, newSnapshotId))
+      kept ++ newFiles)
   }
 
   /** Read the table AT a snapshot: data files resolve through that
@@ -257,6 +309,21 @@ object TranscriptTable {
     }
   }
 
+  /** bucket → snapshot id recorded in its committed checkpoint manifest
+    * (the lineage field resume must validate against the current snapshot)
+    */
+  def committedBucketSnapshots(outRoot: String): Map[Int, Long] = {
+    val dir = checkpointDir(outRoot)
+    if (!Files.isDirectory(dir)) Map.empty
+    else drained(Files.list(dir)) {
+      _.map(p => p.getFileName.toString -> p)
+        .collect { case (s, p) if s.startsWith("bucket-") && s.endsWith(".json") =>
+          s.stripPrefix("bucket-").stripSuffix(".json").toInt ->
+            Json.parse(Files.readString(p))("snapshot_id").asLong }
+        .toVector.toMap
+    }
+  }
+
   def commitBucket(outRoot: String, bucket: Int, snapshotId: Long,
       nBuckets: Int, c: Counters): Unit = {
     val dir = checkpointDir(outRoot)
@@ -304,14 +371,26 @@ object TranscriptTable {
     * moves, so resume granularity is unchanged).
     */
   def extractWithCheckpoints(spark: SparkSession, tableRoot: String,
-      outRoot: String, nBuckets: Int, maxConcurrent: Int = 1): Counters = {
+      outRoot: String, nBuckets: Int, maxConcurrent: Int = 1,
+      reextractStale: Boolean = false): Counters = {
     val snapshotId = currentSnapshotId(tableRoot).getOrElse(
       sys.error(s"no current snapshot at $tableRoot (missing metadata/current.json)"))
     // buckets resolve through the current snapshot's manifest (a bucket's
     // files always come from one snapshot dir: full writes land them
     // together and overwriteBucket replaces a bucket wholesale)
     val byBucket = readManifest(tableRoot, snapshotId).groupBy(_.bucket)
-    val done = committedBuckets(outRoot)
+    // resume validates LINEAGE, not just bucket presence: a checkpoint
+    // committed against an older snapshot (the table advanced via
+    // overwriteBucket between run and resume) must not silently mix old
+    // output with new — fail, or re-extract those buckets when asked to
+    val committed = committedBucketSnapshots(outRoot)
+    val stale = committed.collect { case (b, s) if s != snapshotId => b }.toVector.sorted
+    if (stale.nonEmpty && !reextractStale)
+      sys.error(s"checkpoints for buckets ${stale.mkString(",")} at $outRoot " +
+        s"were committed against snapshot(s) ${stale.map(committed).distinct.mkString(",")} " +
+        s"but the table is now at snapshot $snapshotId — resuming would mix " +
+        "snapshots; pass reextractStale = true to re-extract those buckets")
+    val done = committed.keySet -- stale
     val todo = (0 until nBuckets).filterNot(done)
     val processBucket = (b: Int) => {
       val bucketFiles = byBucket.getOrElse(b, Vector.empty)

@@ -178,6 +178,18 @@ class SparkPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TranscriptTable.write(t, root, nBuckets, snapshotId = 2L)
     }
+    // ...and must refuse BEFORE touching data: the round-5 advice found the
+    // guard fired only at metadata-commit time, after SaveMode.Overwrite had
+    // already deleted snap-2's data files — the rejected write silently
+    // destroyed the current snapshot. Prove snapshot 2 still reads in full.
+    assert(TranscriptTable.read(sp, root).count() == total1 + b1n,
+      "rejected duplicate-id write must leave the current snapshot's data intact")
+    assert(TranscriptTable.read(sp, root).filter(col("bucket") === 1).count() == 2 * b1n)
+    intercept[IllegalArgumentException] {
+      TranscriptTable.overwriteBucket(newB1, root, 1, newSnapshotId = 2L)
+    }
+    assert(TranscriptTable.read(sp, root).count() == total1 + b1n,
+      "rejected duplicate-id overwriteBucket must leave the current snapshot's data intact")
     // a fully-unreferenced expired snapshot loses its whole dir tree:
     // overwrite bucket 1 again (snap 3), then expire snapshot 2 — its
     // OWN dir (only bucket-1 files) is no longer referenced by snap 3
@@ -187,6 +199,62 @@ class SparkPipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(root, "data", "snap-2")),
       "expired snapshot 2's unreferenced dir tree must be removed")
     assert(TranscriptTable.read(sp, root).count() == total1)
+  }
+
+  test("overwriteBucket refuses to silently drop a bucket; stale checkpoints refuse resume") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    val nBuckets = 4
+    val t = Transcripts.synthesize(sp, 30, seed = 13L).toDF()
+    TranscriptTable.write(t, root, nBuckets, snapshotId = 1L)
+    val total1 = TranscriptTable.read(sp, root).count()
+    val b1 = t.withColumn("b", TranscriptTable.bucketCol(nBuckets))
+      .filter(col("b") === 1).drop("b")
+    assert(b1.count() > 0)
+
+    // rows that all hash to bucket 1 cannot overwrite bucket 2: a wrong
+    // bucket number must fail loudly, not become a silent bucket deletion
+    val err = intercept[RuntimeException] {
+      TranscriptTable.overwriteBucket(b1, root, bucket = 2, newSnapshotId = 5L)
+    }
+    assert(err.getMessage.contains("no input row hashes to bucket 2"), err.getMessage)
+    val _ = err
+    // nothing committed: current snapshot unchanged, table reads in full,
+    // and the aborted id is reusable (orphan data dir cleaned up)
+    assert(TranscriptTable.currentSnapshotId(root).contains(1L))
+    assert(TranscriptTable.read(sp, root).count() == total1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", "snap-5")))
+    // explicit opt-in: allowEmpty really empties the bucket in a new snapshot
+    TranscriptTable.overwriteBucket(b1, root, bucket = 2, newSnapshotId = 5L,
+      allowEmpty = true)
+    assert(TranscriptTable.read(sp, root).filter(col("bucket") === 2).count() == 0)
+    assert(TranscriptTable.readAt(sp, root, 1L).filter(col("bucket") === 2).count() > 0)
+
+    // stale-checkpoint lineage: extract at snapshot 5, advance the table,
+    // then resume — completed checkpoints carry snapshot 5, table is at 6
+    val out = java.nio.file.Files.createTempDirectory("graft_guard_out").toString
+    TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets)
+    assert(TranscriptTable.committedBucketSnapshots(out).values.toSet == Set(5L))
+    TranscriptTable.overwriteBucket(b1.unionByName(b1), root, bucket = 1,
+      newSnapshotId = 6L)
+    // drop one checkpoint to simulate an interrupted run needing resume
+    java.nio.file.Files.delete(
+      TranscriptTable.checkpointDir(out).resolve("bucket-3.json"))
+    val stale = intercept[RuntimeException] {
+      TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets)
+    }
+    assert(stale.getMessage.contains("snapshot"), stale.getMessage)
+    // reextractStale re-runs the stale buckets against the current snapshot
+    val c = TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets,
+      reextractStale = true)
+    assert(TranscriptTable.committedBucketSnapshots(out).values.toSet == Set(6L))
+    val expect = TranscriptTable.read(sp, root)
+      .filter(col("tool").isin("pdftohtml", "shakespeare")).count()
+    // counters aggregate across commits; re-extracted buckets replaced their
+    // manifests, so the final sum equals a fresh full run at snapshot 6
+    assert(c.turns == expect, s"${c.turns} != $expect")
   }
 
   test("iceberg-style table: bucketed write, checkpointed extract, resume") {
