@@ -27,7 +27,8 @@ object Bench {
     .getOrCreate()
 
   final case class ExtractionBench(turns: Long, medianSecs: Double,
-      runSecs: Seq[Double], warmSecs: Seq[Double], gcMs: Seq[Long],
+      runSecs: Seq[Double], warmSecs: Seq[Double], warmStable: Boolean,
+      runCalib: Seq[Double], gcMs: Seq[Long],
       ioProbeMbS: Double, extractOnlySecs: Seq[Double], mismatches: Long) {
     def minSecs: Double = runSecs.min
     def extractOnlyMedian: Double =
@@ -112,7 +113,11 @@ object Bench {
       val a = f()
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    def warmUntilStable(f: () => Any): Seq[Double] = {
+    // returns (warm-up times, converged?) — NOT converging within 6
+    // attempts is itself a window label (BENCH_r05's contended block
+    // exhausted the budget with warm_secs still oscillating 3x and the
+    // measurement proceeded silently), so the flag lands in the JSON
+    def warmUntilStable(f: () => Any): (Seq[Double], Boolean) = {
       val warm = scala.collection.mutable.ArrayBuffer.empty[Double]
       var stable = false
       while (!stable && warm.length < 6) {
@@ -122,14 +127,19 @@ object Bench {
           math.abs(a - b) / math.min(a, b) <= 0.20
         }
       }
-      warm.toSeq
+      (warm.toSeq, stable)
     }
     val ioMbS = ioProbe(s"$dir/transcripts")
-    val warm = warmUntilStable(() => job())
+    val (warm, warmStable) = warmUntilStable(() => job())
+    // a short CPU burn brackets EACH timed run: calib_before/after span
+    // the whole artifact, so contention arriving mid-block (BENCH_r05:
+    // before 14.7k idle, after 7.3k contended) left individual runs
+    // unlabeled — run_calib_miters_s pins which runs saw a starved host
     val runs = (0 until 3).map { _ =>
+      val cal = calibBurn(par, targetSecs = 0.5)
       val g0 = gcMillis()
       val (a, s) = timed(job)
-      (a, s, gcMillis() - g0)
+      (a, s, gcMillis() - g0, cal)
     }
     val (turns, mismatches) = runs.head._1
     val secs = runs.map(_._2)
@@ -141,8 +151,8 @@ object Bench {
         .agg(count(lit(1))).head().getLong(0)
     warmUntilStable(() => exOnlyJob())
     val exOnlySecs = (0 until 3).map(_ => timed(exOnlyJob)._2)
-    ExtractionBench(turns, median, secs, warm, runs.map(_._3),
-      ioMbS, exOnlySecs, mismatches)
+    ExtractionBench(turns, median, secs, warm, warmStable,
+      runs.map(_._4), runs.map(_._3), ioMbS, exOnlySecs, mismatches)
   }
 
   /** Pure-CPU calibration burn: a fixed xorshift loop on `threads`
@@ -193,6 +203,8 @@ object Bench {
     j ++= ",\"turns_per_sec_best\":" ++= f"$turnsPerSecMin%.1f"
     j ++= ",\"run_secs\":" ++= ex.runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     j ++= ",\"warm_secs\":" ++= ex.warmSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    j ++= ",\"warm_stable\":" ++= ex.warmStable.toString
+    j ++= ",\"run_calib_miters_s\":" ++= ex.runCalib.map(s => f"$s%.0f").mkString("[", ",", "]")
     j ++= ",\"gc_ms\":" ++= ex.gcMs.mkString("[", ",", "]")
     // io_probe_cache: files are page-cache-warm (just materialized), so this
     // is a lower-bound contention signal only — see ioProbe's scaladoc
