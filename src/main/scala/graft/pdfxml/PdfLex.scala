@@ -1,0 +1,753 @@
+package graft.pdfxml
+
+import graft.model.Span
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** Hand-built raw-PDF byte-stream lexer: COS object/xref lexer plus a
+  * content-stream text interpreter, producing the same per-page positioned
+  * fragments (`PAGE`/`FONTSPEC`/`TEXT` [[XmlTok.XNode]] trees) that the
+  * pdftohtml-XML tokenizer produces — so `%PDF-` payloads flow through the
+  * SAME layout/classify pipeline ([[PdfXml.parseNodes]]) with zero
+  * duplicated extraction logic.
+  *
+  * The reference shells out to pdftohtml and only ever sees its XML
+  * (Parser.php:66-88); this path replaces that external binary with a
+  * native lexer, per the engine's north star. Scope is the text-extraction
+  * subset of ISO 32000-1 (public spec):
+  *   - classic cross-reference tables + trailer (`startxref` ... `%%EOF`),
+  *     with a full-file object scan as the damaged-xref fallback (the same
+  *     recovery strategy real readers use);
+  *   - indirect objects, dictionaries, arrays, names (incl. `#xx`
+  *     escapes), literal strings (all `\` escapes + octal), hex strings,
+  *     numbers, booleans, null, references;
+  *   - streams with `/Length` direct or indirect and no filter or
+  *     `/FlateDecode` (java.util.zip.Inflater);
+  *   - page tree walk with `/MediaBox`/`/Resources` inheritance;
+  *   - content streams: graphics state `q`/`Q`, fill color `rg`/`g`, text
+  *     state `Tf`/`TL`, positioning `Td`/`TD`/`Tm`/`T*`, showing
+  *     `Tj`/`TJ`/`'`/`"`; glyph advances from the font's `/Widths` array
+  *     (`/FirstChar`-based, width 0 outside the table like a missing
+  *     width), TJ kerning subtracts `n/1000 * size`.
+  *
+  * Fragment model (mirrors what pdftohtml emits per `<text>`):
+  *   - one fragment per SHOWN run between repositioning ops — `BT`, `Td`,
+  *     `TD`, `Tm`, `T*` flush the pending fragment;
+  *   - `top = pageH - y - size` (baseline to pdftohtml's top-edge px
+  *     convention), `left = x`, `width` = accumulated advance, `height` =
+  *     the text leading `TL` when set (pdftohtml's line box), else
+  *     `ceil(1.4 * size)`;
+  *   - bold/oblique faces inside a fragment become `b`/`i` spans over the
+  *     concatenated text (inclusive code-point ranges, exactly like
+  *     XmlTok's `<b>`/`<i>` handling); the fragment's FONTSPEC carries the
+  *     base family;
+  *   - fontspecs are registered per page in first-use order keyed by
+  *     (size, family, fill color) — a zero-glyph show (`() Tj`) registers
+  *     its combination without emitting a fragment, which is how a
+  *     producer can pin fontspec ordering (pdftohtml likewise numbers
+  *     fontspecs by first use).
+  */
+object PdfLex {
+
+  // ---- COS values ---------------------------------------------------------
+
+  sealed trait PVal
+  final case class PNum(d: Double) extends PVal
+  /** decoded literal/hex string; latin-1 chars (one char per byte) */
+  final case class PStr(s: String) extends PVal
+  final case class PName(s: String) extends PVal
+  final case class PArr(items: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal
+  final case class PRef(num: Int) extends PVal
+  final case class PBool(b: Boolean) extends PVal
+  case object PNull extends PVal
+  /** stream: dict + raw (still encoded) data range in the file bytes */
+  final case class PStream(dict: PDict, dataStart: Int, dataLen: Int) extends PVal
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0
+  private def isDelim(b: Byte): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+  private def isRegular(b: Byte): Boolean = !isWs(b) && !isDelim(b)
+
+  /** mutable cursor over the file bytes */
+  private final class Cur(val b: Array[Byte], var p: Int) {
+    def atEnd: Boolean = p >= b.length
+    def peek: Byte = if (p < b.length) b(p) else -1
+    def skipWs(): Unit = {
+      var go = true
+      while (go && p < b.length) {
+        if (isWs(b(p))) p += 1
+        else if (b(p) == '%') { // comment to EOL
+          while (p < b.length && b(p) != '\n' && b(p) != '\r') p += 1
+        } else go = false
+      }
+    }
+    def keyword(): String = {
+      val s = p
+      while (p < b.length && isRegular(b(p))) p += 1
+      new String(b, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  /** parse one COS value at the cursor (after skipWs) */
+  private def parseVal(c: Cur): PVal = {
+    c.skipWs()
+    if (c.atEnd) throw new PdfError("unexpected end of data")
+    (c.peek: @annotation.switch) match {
+      case '/' => PName(parseName(c))
+      case '(' => PStr(parseLiteralString(c))
+      case '[' =>
+        c.p += 1
+        val items = Vector.newBuilder[PVal]
+        c.skipWs()
+        while (!c.atEnd && c.peek != ']') { items += parseVal(c); c.skipWs() }
+        if (c.atEnd) throw new PdfError("unterminated array")
+        c.p += 1
+        PArr(items.result())
+      case '<' =>
+        if (c.p + 1 < c.b.length && c.b(c.p + 1) == '<') parseDict(c)
+        else PStr(parseHexString(c))
+      case 't' | 'f' | 'n' =>
+        c.keyword() match {
+          case "true" => PBool(true)
+          case "false" => PBool(false)
+          case "null" => PNull
+          case k => throw new PdfError(s"unexpected keyword '$k'")
+        }
+      case _ => parseNumberOrRef(c)
+    }
+  }
+
+  private def parseName(c: Cur): String = {
+    c.p += 1 // '/'
+    val sb = new StringBuilder
+    while (!c.atEnd && isRegular(c.peek)) {
+      val ch = c.peek
+      if (ch == '#' && c.p + 2 < c.b.length) {
+        val h = Character.digit(c.b(c.p + 1), 16); val l = Character.digit(c.b(c.p + 2), 16)
+        if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); c.p += 3 }
+        else { sb.append(ch.toChar); c.p += 1 }
+      } else { sb.append(ch.toChar); c.p += 1 }
+    }
+    sb.toString
+  }
+
+  private def parseLiteralString(c: Cur): String = {
+    c.p += 1 // '('
+    val sb = new StringBuilder
+    var depth = 1
+    while (depth > 0) {
+      if (c.atEnd) throw new PdfError("unterminated string")
+      val ch = c.b(c.p)
+      ch match {
+        case '\\' =>
+          c.p += 1
+          if (c.atEnd) throw new PdfError("dangling escape")
+          val e = c.b(c.p)
+          e match {
+            case 'n' => sb.append('\n'); c.p += 1
+            case 'r' => sb.append('\r'); c.p += 1
+            case 't' => sb.append('\t'); c.p += 1
+            case 'b' => sb.append('\b'); c.p += 1
+            case 'f' => sb.append('\f'); c.p += 1
+            case '(' => sb.append('('); c.p += 1
+            case ')' => sb.append(')'); c.p += 1
+            case '\\' => sb.append('\\'); c.p += 1
+            case '\r' => // line continuation (swallow optional \n)
+              c.p += 1; if (!c.atEnd && c.peek == '\n') c.p += 1
+            case '\n' => c.p += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var n = 0
+              while (n < 3 && !c.atEnd && c.peek >= '0' && c.peek <= '7') {
+                v = v * 8 + (c.peek - '0'); c.p += 1; n += 1
+              }
+              sb.append((v & 0xff).toChar)
+            case other => sb.append(other.toChar); c.p += 1 // spec: drop the backslash
+          }
+        case '(' => depth += 1; sb.append('('); c.p += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb.append(')')
+          c.p += 1
+        case other => sb.append((other & 0xff).toChar); c.p += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def parseHexString(c: Cur): String = {
+    c.p += 1 // '<'
+    val sb = new StringBuilder
+    var hi = -1
+    while (!c.atEnd && c.peek != '>') {
+      val d = Character.digit(c.peek, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+      }
+      c.p += 1
+    }
+    if (c.atEnd) throw new PdfError("unterminated hex string")
+    if (hi >= 0) sb.append((hi << 4).toChar) // odd count: implicit trailing 0
+    c.p += 1
+    sb.toString
+  }
+
+  private def parseDict(c: Cur): PDict = {
+    c.p += 2 // '<<'
+    val m = Map.newBuilder[String, PVal]
+    c.skipWs()
+    while (!c.atEnd && c.peek != '>') {
+      if (c.peek != '/') throw new PdfError(s"dict key must be a name at ${c.p}")
+      val k = parseName(c)
+      m += k -> parseVal(c)
+      c.skipWs()
+    }
+    if (c.p + 1 >= c.b.length || c.b(c.p + 1) != '>') throw new PdfError("unterminated dict")
+    c.p += 2
+    PDict(m.result())
+  }
+
+  /** number, or `N G R` indirect reference (rewinds if the lookahead is
+    * not a reference — required inside content streams where bare number
+    * sequences are operands)
+    */
+  private def parseNumberOrRef(c: Cur): PVal = {
+    val n1 = parseNumber(c)
+    if (n1.d == math.rint(n1.d) && n1.d >= 0) {
+      val save = c.p
+      c.skipWs()
+      if (!c.atEnd && c.peek >= '0' && c.peek <= '9') {
+        parseNumber(c)
+        c.skipWs()
+        if (!c.atEnd && c.peek == 'R' &&
+            (c.p + 1 >= c.b.length || !isRegular(c.b(c.p + 1)))) {
+          c.p += 1
+          return PRef(n1.d.toInt)
+        }
+      }
+      c.p = save
+    }
+    n1
+  }
+
+  private def parseNumber(c: Cur): PNum = {
+    val s = c.p
+    if (!c.atEnd && (c.peek == '+' || c.peek == '-')) c.p += 1
+    while (!c.atEnd && ((c.peek >= '0' && c.peek <= '9') || c.peek == '.')) c.p += 1
+    if (c.p == s) throw new PdfError(s"expected number at ${c.p} ('${c.peek.toChar}')")
+    PNum(new String(c.b, s, c.p - s, java.nio.charset.StandardCharsets.ISO_8859_1).toDouble)
+  }
+
+  final class PdfError(msg: String) extends RuntimeException(msg)
+
+  // ---- document: xref / objects / pages -----------------------------------
+
+  final class PdfDoc(val bytes: Array[Byte]) {
+    private val cache = mutable.HashMap.empty[Int, PVal]
+    private var rootFromTrailer: Int = -1
+
+    /** objNum -> file offset of the object header. Starts from the xref
+      * table; if an offset turns out stale (an edited file whose table was
+      * not rewritten), [[obj]] rebuilds this once from a full scan — the
+      * standard reader reconstruction strategy.
+      */
+    private var offsetsV: Map[Int, Int] = readXref().getOrElse(scanObjects())
+    private var rescanned = false
+    def offsets: Map[Int, Int] = offsetsV
+
+    /** classic xref table via startxref; None on any structural damage */
+    private def readXref(): Option[Map[Int, Int]] = try {
+      val tailStart = math.max(0, bytes.length - 2048)
+      val tail = new String(bytes, tailStart, bytes.length - tailStart,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val sx = tail.lastIndexOf("startxref")
+      if (sx < 0) return None
+      val c0 = new Cur(bytes, tailStart + sx + "startxref".length)
+      c0.skipWs()
+      val xrefOff = parseNumber(c0).d.toInt
+      if (xrefOff < 0 || xrefOff >= bytes.length) return None
+      val c = new Cur(bytes, xrefOff)
+      c.skipWs()
+      if (c.keyword() != "xref") return None
+      val out = mutable.HashMap.empty[Int, Int]
+      var inSections = true
+      while (inSections) {
+        c.skipWs()
+        if (c.peek == 't') { // trailer
+          if (c.keyword() != "trailer") return None
+          c.skipWs()
+          val tr = parseDict(c)
+          tr.m.get("Root") match {
+            case Some(PRef(n)) => rootFromTrailer = n
+            case _ => return None
+          }
+          inSections = false
+        } else {
+          val start = parseNumber(c).d.toInt
+          c.skipWs()
+          val count = parseNumber(c).d.toInt
+          var i = 0
+          while (i < count) {
+            c.skipWs()
+            val off = parseNumber(c).d.toInt
+            c.skipWs()
+            parseNumber(c) // generation
+            c.skipWs()
+            val kind = c.peek
+            c.p += 1
+            if (kind == 'n') out(start + i) = off
+            i += 1
+          }
+        }
+      }
+      Some(out.toMap)
+    } catch { case _: Exception => None }
+
+    /** damaged-xref fallback: scan the whole buffer for `N G obj` headers
+      * (the standard reconstruction strategy; later definitions win, like
+      * an incremental update would)
+      */
+    private def scanObjects(): Map[Int, Int] = {
+      val out = mutable.HashMap.empty[Int, Int]
+      var i = 0
+      while (i + 3 < bytes.length) {
+        if (bytes(i) == 'o' && bytes(i + 1) == 'b' && bytes(i + 2) == 'j' &&
+            (i + 3 >= bytes.length || !isRegular(bytes(i + 3))) &&
+            (i == 0 || isWs(bytes(i - 1)))) {
+          // backtrack: ws, gen digits, ws, num digits
+          var j = i - 1
+          while (j >= 0 && isWs(bytes(j))) j -= 1
+          val genEnd = j
+          while (j >= 0 && bytes(j) >= '0' && bytes(j) <= '9') j -= 1
+          val genStart = j + 1
+          if (genEnd >= genStart) {
+            while (j >= 0 && isWs(bytes(j))) j -= 1
+            val numEnd = j
+            while (j >= 0 && bytes(j) >= '0' && bytes(j) <= '9') j -= 1
+            val numStart = j + 1
+            if (numEnd >= numStart && (numStart == 0 || !isRegular(bytes(numStart - 1)))) {
+              val num = new String(bytes, numStart, numEnd - numStart + 1,
+                java.nio.charset.StandardCharsets.ISO_8859_1).toInt
+              out(num) = numStart
+            }
+          }
+        }
+        i += 1
+      }
+      out.toMap
+    }
+
+    def obj(num: Int): PVal = cache.getOrElseUpdate(num,
+      try parseObjAt(num)
+      catch {
+        case e: PdfError if !rescanned =>
+          // stale xref offset (edited file, table not rewritten): rebuild
+          // the table from a full scan once and retry
+          rescanned = true
+          offsetsV = scanObjects()
+          try parseObjAt(num) catch { case _: PdfError => throw e }
+      })
+
+    private def parseObjAt(num: Int): PVal = {
+      val off = offsets.getOrElse(num, throw new PdfError(s"object $num not found"))
+      val c = new Cur(bytes, off)
+      c.skipWs()
+      val hdrNum = parseNumber(c).d.toInt // obj num
+      if (hdrNum != num) throw new PdfError(s"offset of object $num holds object $hdrNum")
+      c.skipWs(); parseNumber(c) // gen
+      c.skipWs()
+      if (c.keyword() != "obj") throw new PdfError(s"bad object header for $num")
+      val v = parseVal(c)
+      c.skipWs()
+      v match {
+        case d: PDict if !c.atEnd && c.peek == 's' =>
+          val save = c.p
+          if (c.keyword() == "stream") {
+            // data starts after CRLF or LF
+            if (!c.atEnd && c.peek == '\r') c.p += 1
+            if (!c.atEnd && c.peek == '\n') c.p += 1
+            val len = resolve(d.m.getOrElse("Length", PNull)) match {
+              case PNum(x) => x.toInt
+              case _ => throw new PdfError(s"stream in object $num has no /Length")
+            }
+            PStream(d, c.p, len)
+          } else { c.p = save; v }
+        case _ => v
+      }
+    }
+
+    def resolve(v: PVal): PVal = v match {
+      case PRef(n) => resolve(obj(n))
+      case x => x
+    }
+
+    /** decoded stream data (no filter, or /FlateDecode) */
+    def streamData(s: PStream): Array[Byte] = {
+      val raw = java.util.Arrays.copyOfRange(bytes, s.dataStart,
+        math.min(s.dataStart + s.dataLen, bytes.length))
+      val filters: Vector[String] = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+        case PName(n) => Vector(n)
+        case PArr(items) => items.map { case PName(n) => n; case other =>
+          throw new PdfError(s"bad filter entry $other") }
+        case PNull => Vector.empty
+        case other => throw new PdfError(s"bad /Filter $other")
+      }
+      filters.foldLeft(raw) { (data, f) =>
+        f match {
+          case "FlateDecode" => inflate(data)
+          case other => throw new PdfError(s"unsupported filter /$other")
+        }
+      }
+    }
+
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) throw new PdfError("truncated Flate stream")
+          out.write(buf, 0, n)
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+
+    def rootRef: Int =
+      if (rootFromTrailer >= 0) rootFromTrailer
+      else {
+        // fallback-scan path has no trailer: find the catalog by type
+        offsets.keys.toSeq.sorted.find { n =>
+          resolve(obj(n)) match {
+            case PDict(m) => m.get("Type").contains(PName("Catalog"))
+            case _ => false
+          }
+        }.getOrElse(throw new PdfError("no /Root and no /Catalog object"))
+      }
+
+    /** page dicts in document order, with /MediaBox and /Resources
+      * inherited from ancestor /Pages nodes
+      */
+    def pages(): Vector[PDict] = {
+      val catalog = resolve(obj(rootRef)) match {
+        case d: PDict => d
+        case other => throw new PdfError(s"catalog is $other")
+      }
+      val out = Vector.newBuilder[PDict]
+      def walk(node: PVal, inherited: Map[String, PVal], depth: Int): Unit = {
+        if (depth > 64) throw new PdfError("page tree too deep")
+        resolve(node) match {
+          case PDict(m) =>
+            val inh = inherited ++
+              m.view.filterKeys(k => k == "MediaBox" || k == "Resources").toMap
+            m.get("Type") match {
+              case Some(PName("Pages")) =>
+                resolve(m.getOrElse("Kids", PArr(Vector.empty))) match {
+                  case PArr(kids) => kids.foreach(walk(_, inh, depth + 1))
+                  case other => throw new PdfError(s"bad /Kids $other")
+                }
+              case _ =>
+                // a /Page (or a typeless leaf): merge inherited attrs in
+                out += PDict(inh ++ m)
+            }
+          case other => throw new PdfError(s"bad page-tree node $other")
+        }
+      }
+      walk(catalog.m.getOrElse("Pages", throw new PdfError("catalog has no /Pages")),
+        Map.empty, 0)
+      out.result()
+    }
+  }
+
+  // ---- fonts --------------------------------------------------------------
+
+  /** the subset of font metadata the text interpreter needs */
+  final case class FontInfo(family: String, style: String, firstChar: Int,
+      widths: Array[Double])
+
+  private def fontInfo(doc: PdfDoc, v: PVal): FontInfo = {
+    val d = doc.resolve(v) match {
+      case pd: PDict => pd
+      case other => throw new PdfError(s"font is $other")
+    }
+    val base = doc.resolve(d.m.getOrElse("BaseFont", PName(""))) match {
+      case PName(n) => n
+      case _ => ""
+    }
+    // strip subset prefix (ABCDEF+Name), split family from style suffix
+    val name = if (base.length > 7 && base.charAt(6) == '+') base.substring(7) else base
+    val dash = name.indexOf('-')
+    val (family, suffix) =
+      if (dash >= 0) (name.substring(0, dash), name.substring(dash + 1))
+      else (name, "")
+    val style =
+      if (suffix.contains("Bold")) "b"
+      else if (suffix.contains("Oblique") || suffix.contains("Italic")) "i"
+      else ""
+    val firstChar = doc.resolve(d.m.getOrElse("FirstChar", PNum(0))) match {
+      case PNum(x) => x.toInt
+      case _ => 0
+    }
+    val widths = doc.resolve(d.m.getOrElse("Widths", PArr(Vector.empty))) match {
+      case PArr(items) => items.map {
+        case PNum(x) => x
+        case other => throw new PdfError(s"bad width $other")
+      }.toArray
+      case _ => Array.empty[Double]
+    }
+    FontInfo(family, style, firstChar, widths)
+  }
+
+  // ---- content-stream interpretation --------------------------------------
+
+  private final case class Frag(top: Int, left: Int, width: Int, height: Int,
+      fontId: Int, text: String, spans: Map[String, Vector[Span]])
+
+  private final case class Spec(size: Int, family: String, color: String)
+
+  /** per-page fontspec registry: first-use order over (size, family, color) */
+  private final class FontspecReg {
+    val specs = ArrayBuffer.empty[Spec]
+    private val idx = mutable.HashMap.empty[Spec, Int]
+    def id(size: Int, family: String, color: String): Int = {
+      val s = Spec(size, family, color)
+      idx.getOrElseUpdate(s, { specs += s; specs.length - 1 })
+    }
+  }
+
+  private def hexColor(r: Double, g: Double, b: Double): String = {
+    @inline def c(x: Double): Int = math.max(0, math.min(255, math.round(x * 255).toInt))
+    f"#${c(r)}%02x${c(g)}%02x${c(b)}%02x"
+  }
+
+  private def interpret(content: Array[Byte], fonts: Map[String, FontInfo],
+      pageH: Double, reg: FontspecReg): Vector[Frag] = {
+    val frags = Vector.newBuilder[Frag]
+    val c = new Cur(content, 0)
+    val stack = ArrayBuffer.empty[PVal] // operand stack
+    var fill = "#000000"
+    val gsStack = ArrayBuffer.empty[String]
+    var font: FontInfo = null
+    var size = 0.0
+    var leading = 0.0
+    // text object state
+    var lineX = 0.0; var lineY = 0.0
+    var curX = 0.0; var curY = 0.0
+    // pending fragment
+    var fragStartX = 0.0; var fragStartY = 0.0
+    var fragSize = 0.0; var fragColor = ""; var fragFamily = ""
+    val pieceStyles = ArrayBuffer.empty[String]
+    val pieceTexts = ArrayBuffer.empty[String]
+
+    @inline def num(v: PVal): Double = v match {
+      case PNum(d) => d
+      case other => throw new PdfError(s"operand $other is not a number")
+    }
+    def advanceOf(f: FontInfo, sz: Double, s: String): Double = {
+      var w = 0.0
+      var i = 0
+      while (i < s.length) {
+        val ci = s.charAt(i) - f.firstChar
+        if (ci >= 0 && ci < f.widths.length) w += f.widths(ci)
+        i += 1
+      }
+      w * sz / 1000.0
+    }
+    def flush(): Unit = {
+      if (pieceTexts.nonEmpty) {
+        val text = pieceTexts.mkString
+        // b/i spans as inclusive code-point ranges over the joined text,
+        // merged per style key (mirrors XmlTok's child-span recording)
+        var cp = 0
+        val spanBuf = mutable.LinkedHashMap.empty[String, Vector[Span]]
+        var i = 0
+        while (i < pieceTexts.length) {
+          val n = pieceTexts(i).codePointCount(0, pieceTexts(i).length)
+          val st = pieceStyles(i)
+          if (st.nonEmpty && n > 0)
+            spanBuf(st) = spanBuf.getOrElse(st, Vector.empty) :+ Span(cp, cp + n - 1)
+          cp += n
+          i += 1
+        }
+        val h = if (leading > 0) math.round(leading).toInt
+                else math.ceil(fragSize * 1.4).toInt
+        frags += Frag(
+          top = math.round(pageH - fragStartY - fragSize).toInt,
+          left = math.round(fragStartX).toInt,
+          width = math.round(curX - fragStartX).toInt,
+          height = h,
+          fontId = reg.id(math.round(fragSize).toInt, fragFamily, fragColor),
+          text = text,
+          spans = spanBuf.toMap)
+        pieceTexts.clear(); pieceStyles.clear()
+      }
+    }
+    def show(s: String): Unit = {
+      if (font == null) throw new PdfError("show before Tf")
+      if (s.isEmpty && pieceTexts.isEmpty) {
+        // zero-glyph show: registers the fontspec combination only
+        reg.id(math.round(size).toInt, font.family, fill)
+      } else {
+        if (pieceTexts.isEmpty) {
+          fragStartX = curX; fragStartY = curY
+          fragSize = size; fragColor = fill; fragFamily = font.family
+        }
+        pieceStyles += font.style
+        pieceTexts += s
+        curX += advanceOf(font, size, s)
+      }
+    }
+    def nextLine(): Unit = { flush(); lineY -= leading; curX = lineX; curY = lineY }
+
+    while ({ c.skipWs(); !c.atEnd }) {
+      val ch = c.peek
+      if (ch == '/' || ch == '(' || ch == '[' || ch == '<' ||
+          (ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.') {
+        stack += parseVal(c)
+      } else {
+        val op = c.keyword()
+        if (op.isEmpty) c.p += 1 // skip stray delimiter (defensive)
+        else op match {
+          case "q" => gsStack += fill
+          case "Q" => if (gsStack.nonEmpty) { fill = gsStack.last; gsStack.dropRightInPlace(1) }
+          case "rg" if stack.length >= 3 =>
+            fill = hexColor(num(stack(stack.length - 3)),
+              num(stack(stack.length - 2)), num(stack.last))
+          case "g" if stack.nonEmpty =>
+            val v = num(stack.last); fill = hexColor(v, v, v)
+          case "BT" =>
+            flush()
+            lineX = 0; lineY = 0; curX = 0; curY = 0
+          case "ET" => flush()
+          case "Tf" if stack.length >= 2 =>
+            val fname = stack(stack.length - 2) match {
+              case PName(n) => n
+              case other => throw new PdfError(s"Tf font operand $other")
+            }
+            font = fonts.getOrElse(fname, throw new PdfError(s"unknown font /$fname"))
+            size = num(stack.last)
+          case "TL" if stack.nonEmpty => leading = num(stack.last)
+          case "Td" if stack.length >= 2 =>
+            flush()
+            lineX += num(stack(stack.length - 2)); lineY += num(stack.last)
+            curX = lineX; curY = lineY
+          case "TD" if stack.length >= 2 =>
+            flush()
+            leading = -num(stack.last)
+            lineX += num(stack(stack.length - 2)); lineY += num(stack.last)
+            curX = lineX; curY = lineY
+          case "Tm" if stack.length >= 6 =>
+            flush()
+            lineX = num(stack(stack.length - 2)); lineY = num(stack.last)
+            curX = lineX; curY = lineY
+          case "T*" => nextLine()
+          case "Tj" if stack.nonEmpty =>
+            stack.last match {
+              case PStr(s) => show(s)
+              case other => throw new PdfError(s"Tj operand $other")
+            }
+          case "TJ" if stack.nonEmpty =>
+            stack.last match {
+              case PArr(items) => items.foreach {
+                case PStr(s) => show(s)
+                case PNum(adj) => if (pieceTexts.nonEmpty) curX -= adj / 1000.0 * size
+                case other => throw new PdfError(s"TJ element $other")
+              }
+              case other => throw new PdfError(s"TJ operand $other")
+            }
+          case "'" if stack.nonEmpty =>
+            nextLine()
+            stack.last match {
+              case PStr(s) => show(s)
+              case other => throw new PdfError(s"' operand $other")
+            }
+          case "\"" if stack.length >= 3 =>
+            // word/char spacing operands are accepted but not applied to
+            // advances (out of the extraction subset's scope)
+            nextLine()
+            stack.last match {
+              case PStr(s) => show(s)
+              case other => throw new PdfError(s"\" operand $other")
+            }
+          case _ => // unknown operator: PDF operand-stack semantics say drop operands
+        }
+        stack.clear()
+      }
+    }
+    flush()
+    frags.result()
+  }
+
+  // ---- entry: PDF bytes -> PAGE XNodes ------------------------------------
+
+  /** parse a (text-payload) PDF; chars map 1:1 to bytes via latin-1 —
+    * ASCII-safe producers round-trip through parquet string columns
+    */
+  def toNodes(payload: String): Vector[XmlTok.XNode] =
+    toNodes(payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  def toNodes(bytes: Array[Byte]): Vector[XmlTok.XNode] = {
+    val doc = new PdfDoc(bytes)
+    doc.pages().zipWithIndex.map { case (page, pi) =>
+      val (pw, ph) = doc.resolve(page.m.getOrElse("MediaBox", PNull)) match {
+        case PArr(Vector(x0, y0, x1, y1)) =>
+          (num(doc, x1) - num(doc, x0), num(doc, y1) - num(doc, y0))
+        case _ => throw new PdfError(s"page ${pi + 1} has no /MediaBox")
+      }
+      val fonts: Map[String, FontInfo] =
+        doc.resolve(page.m.getOrElse("Resources", PDict(Map.empty))) match {
+          case PDict(res) => doc.resolve(res.getOrElse("Font", PDict(Map.empty))) match {
+            case PDict(fm) => fm.map { case (k, v) => k -> fontInfo(doc, v) }
+            case other => throw new PdfError(s"bad /Font $other")
+          }
+          case other => throw new PdfError(s"bad /Resources $other")
+        }
+      val content: Array[Byte] = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
+        case s: PStream => doc.streamData(s)
+        case PArr(items) =>
+          val parts = items.map(v => doc.resolve(v) match {
+            case s: PStream => doc.streamData(s)
+            case other => throw new PdfError(s"bad /Contents entry $other")
+          })
+          val out = new java.io.ByteArrayOutputStream()
+          parts.foreach { p => out.write(p); out.write('\n') }
+          out.toByteArray
+        case PNull => Array.empty[Byte]
+        case other => throw new PdfError(s"bad /Contents $other")
+      }
+      val reg = new FontspecReg
+      val frags = interpret(content, fonts, ph, reg)
+
+      val pageNode = XmlTok.synthNode("PAGE",
+        Array("NUMBER", "POSITION", "TOP", "LEFT", "HEIGHT", "WIDTH"),
+        Array((pi + 1).toString, "absolute", "0", "0",
+          math.round(ph).toInt.toString, math.round(pw).toInt.toString))
+      reg.specs.zipWithIndex.foreach { case (s, i) =>
+        XmlTok.addChild(pageNode, XmlTok.synthNode("FONTSPEC",
+          Array("ID", "SIZE", "FAMILY", "COLOR"),
+          Array(i.toString, s.size.toString, s.family, s.color)))
+      }
+      frags.foreach { f =>
+        val n = XmlTok.synthNode("TEXT",
+          Array("TOP", "LEFT", "WIDTH", "HEIGHT", "FONT"),
+          Array(f.top.toString, f.left.toString, f.width.toString,
+            f.height.toString, f.fontId.toString))
+        n.value = f.text
+        if (f.spans.nonEmpty) n.textAttributes = f.spans
+        XmlTok.addChild(pageNode, n)
+      }
+      pageNode
+    }
+  }
+
+  private def num(doc: PdfDoc, v: PVal): Double = doc.resolve(v) match {
+    case PNum(d) => d
+    case other => throw new PdfError(s"$other is not a number")
+  }
+}

@@ -34,6 +34,15 @@ object PdfXml {
     * so tests can pin each classifier pass independently.
     */
   def parse(xml: String,
+      stageSink: (Int, String, Seq[TextParser.StageBlock]) => Unit): ParseResult =
+    parseNodes(XmlTok.parse(xml), stageSink)
+
+  /** raw-PDF entry: the [[PdfLex]] bridge produces the same PAGE node
+    * trees the XML tokenizer does, so both formats share this pipeline
+    */
+  def parsePdf(payload: String): ParseResult = parseNodes(PdfLex.toNodes(payload), null)
+
+  def parseNodes(tops: Vector[XmlTok.XNode],
       stageSink: (Int, String, Seq[TextParser.StageBlock]) => Unit): ParseResult = {
     val flags = new DocFlags
     val colors = new ColorsList
@@ -43,7 +52,7 @@ object PdfXml {
     val footerFrags = new ArrayBuffer[Vector[HfFrag]]
 
     var dirtyPageNum = 0
-    XmlTok.parse(xml).foreach { top =>
+    tops.foreach { top =>
       if (top.tag == "PDF2XML") {
         top.children.foreach { page =>
           if (page.tag == "PAGE") {

@@ -68,6 +68,20 @@ object XmlTok {
   }
   private object XNode { val emptyArr = new Array[String](0) }
 
+  /** programmatic node construction for the raw-PDF bridge ([[PdfLex]]):
+    * the PDF lexer emits the same PAGE/FONTSPEC/TEXT trees this tokenizer
+    * produces, so both sources share one layout/classify pipeline
+    */
+  private[pdfxml] def synthNode(tag: String, keys: Array[String],
+      vals: Array[String]): XNode = {
+    val n = new XNode(tag)
+    n.attrKeys = keys
+    n.attrVals = vals
+    n
+  }
+  private[pdfxml] def addChild(parent: XNode, child: XNode): Unit =
+    parent.addChild(child)
+
   /** pending (childTagLowerOrEmpty, text) pieces for one open element,
     * as parallel arrays; instances are pooled across elements
     */

@@ -105,7 +105,10 @@ object ExtractTurn {
       }
       false
     }
-    if (has("<pdf2xml", ignoreCase = false)) "pdfxml"
+    // raw PDF payloads start with the %PDF- header (ISO 32000-1 §7.5.2) —
+    // a prefix check, not a scan: binary-ish bodies must not be searched
+    if (text.startsWith("%PDF-")) "pdf"
+    else if (has("<pdf2xml", ignoreCase = false)) "pdfxml"
     else if (has("<html", ignoreCase = true) ||
       has("<!doctype html", ignoreCase = true) ||
       has("name=speech", ignoreCase = true)) "shakespeare"
@@ -148,8 +151,10 @@ object ExtractTurn {
           lines.lastOption.map(_.pageNum).getOrElse(0),
           sceneContinuedTop = false, sceneContinuedBottom = false,
           sceneContinuedNumber = false, Seq.empty, text.length)
-      case "pdfxml" =>
-        val r = PdfXml.parse(text)
+      case "pdfxml" | "pdf" =>
+        // "pdf" = raw-PDF bytes through the hand-built COS/content-stream
+        // lexer (PdfLex); both formats share the layout/classify pipeline
+        val r = if (format == "pdf") PdfXml.parsePdf(text) else PdfXml.parse(text)
         // dual-dialog column tracking (WriteOutput.php:282-302)
         var currentColumn = 0
         val lines = r.objects.map { o =>
@@ -197,7 +202,7 @@ object ExtractTurn {
   private val utf8Cache: java.util.concurrent.ConcurrentHashMap[String, UTF8String] = {
     val m = new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
     (ScriptLine.ValidTypes.toSeq ++ ScriptLine.ValidTypes.toSeq.map(ScriptLine.typeJson) ++
-      Seq("", "left", "center", "right", "pdfxml", "shakespeare", "unknown",
+      Seq("", "left", "center", "right", "pdfxml", "pdf", "shakespeare", "unknown",
         "oversized", "error", "Letter", "A4", "b", "i")).foreach { s =>
       m.put(s, UTF8String.fromString(s))
     }

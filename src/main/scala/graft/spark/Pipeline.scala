@@ -22,7 +22,7 @@ object Pipeline {
     * Only assistant document turns are extracted when `onlyDocs`.
     */
   def extracted(transcripts: DataFrame, onlyDocs: Boolean = true): DataFrame = {
-    val base = if (onlyDocs) transcripts.filter(col("tool").isin("pdftohtml", "shakespeare"))
+    val base = if (onlyDocs) transcripts.filter(col("tool").isin("pdftohtml", "shakespeare", "pdf"))
                else transcripts
     base.select(col("conv_id"), col("turn_idx"),
       ExtractTurn(col("text")).as("ex"))

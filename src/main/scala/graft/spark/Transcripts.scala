@@ -416,4 +416,68 @@ object Transcripts {
     spark.range(0, nConvs, 1, par)
       .flatMap(k => crossTurnsFor(seed, k, avgTurns).flatMap(_._2))
   }
+
+  /** Raw-PDF corpus: the SAME cross-feature document family, rendered as
+    * real PDF bytes ([[graft.synth.PdfGen]]) instead of pdftohtml XML —
+    * identical fragment geometry, so the generator-derived goldens are the
+    * same [[CrossGoldenLine]] expectations, now attested through the
+    * hand-built PDF object/xref/content-stream lexer
+    * ([[graft.pdfxml.PdfLex]]).
+    */
+  def pdfTurnsFor(seed: Long, k: Long, avgTurns: Int): Seq[(Turn, Seq[CrossGoldenLine])] = {
+    val r = new java.util.SplittableRandom(seed * 9100019L + k)
+    val id = f"pdf-$seed%x-$k%08d"
+    val nTurns = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
+    (0 until nTurns).map { ti =>
+      val role = if (ti % 2 == 0) "user" else "assistant"
+      val ts = new Timestamp(epochMs + k * 3600000L + ti * 60000L)
+      if (role == "assistant") {
+        val docSeed = seed ^ (k * 424243L + ti)
+        val doc = ScreenplayGen.render(
+          ScreenplayGen.elementsWithDualTight(docSeed, 7 + r.nextInt(5)),
+          ScreenplayGen.Options(
+            revisions = revPalette,
+            marginLineNumbers = true,
+            sceneNumbers = true,
+            contdMarkers = true,
+            continuedBands = true,
+            inlineStyles = true,
+            fragmentJitter = true))
+        val revTable = doc.revExpected
+          .map { case (rank, name, color, _) => s"$rank:$name:$color" }.mkString(";")
+        val votes = doc.voteExpected
+          .map { case (t, l, rr) => s"$t:$l:$rr" }.mkString(";")
+        val (cTop, cBottom, cNum) = doc.contExpected
+        val goldens = doc.expected.zip(doc.dualMeta).zipWithIndex.map {
+          case (((kind, text, page, given), (column, hasDual, isDual)), li) =>
+            CrossGoldenLine(id, ti, li, kind, text, page, given,
+              column, hasDual, isDual,
+              doc.lineRevsExpected(li), doc.lineAttrsExpected(li),
+              revTable, votes, cTop, cBottom, cNum)
+        }
+        (Turn(id, ti, role, graft.synth.PdfGen.fromXml(doc.xml), "pdf", ts), goldens)
+      } else {
+        val text = s"pdf-corpus turn $ti of $id: " + ("lex " * (1 + r.nextInt(6))).trim
+        (Turn(id, ti, role, text, "", ts), Seq.empty[CrossGoldenLine])
+      }
+    }
+  }
+
+  /** Distributed synthesis of the raw-PDF corpus. */
+  def synthesizePdf(spark: SparkSession, nConvs: Long, seed: Long = 9393L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => pdfTurnsFor(seed, k, avgTurns).map(_._1))
+  }
+
+  /** Goldens side of the raw-PDF corpus. */
+  def pdfGoldens(spark: SparkSession, nConvs: Long, seed: Long = 9393L,
+      avgTurns: Int = 4, parallelism: Int = 0): Dataset[CrossGoldenLine] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nConvs, 1, par)
+      .flatMap(k => pdfTurnsFor(seed, k, avgTurns).flatMap(_._2))
+  }
 }

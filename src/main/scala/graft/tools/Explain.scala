@@ -58,6 +58,7 @@ object Explain {
     show("q33_revisions", SparkEntry.queries("q33_revisions")(spark, sfDir))
     show("q34_line_number_vote", SparkEntry.queries("q34_line_number_vote")(spark, sfDir))
     show("q35_cross_verify", SparkEntry.queries("q35_cross_verify")(spark, sfDir))
+    show("q38_pdf_lexer", SparkEntry.queries("q38_pdf_lexer")(spark, sfDir))
     show("q26_ann_ivf", SparkEntry.queries("q26_ann_ivf")(spark, sfDir))
     spark.stop()
   }

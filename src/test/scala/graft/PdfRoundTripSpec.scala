@@ -1,0 +1,186 @@
+package graft
+
+import graft.pdfxml.{PdfLex, PdfXml}
+import graft.spark.ExtractTurn
+import graft.synth.{PdfGen, ScreenplayGen}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The raw-PDF lexer path (PdfLex: COS object/xref lexer + content-stream
+  * text interpreter) must extract IDENTICALLY to the pdftohtml-XML path on
+  * the same fragment geometry: PdfGen renders each synthetic XML document
+  * into a real PDF (classic xref, page tree, Courier /Widths metrics, one
+  * content stream per page) and both payloads run the shared pipeline.
+  * Differential over every corpus family, so every pass interaction the
+  * XML corpora pin (duals, tight duals, revisions, margin numbers, scene
+  * numbers, CONT'D, CONTINUED bands, inline styles, fragment jitter) is
+  * also attested through the PDF lexer.
+  */
+class PdfRoundTripSpec extends AnyFunSuite {
+
+  private val revPalette = Vector(
+    ("Blue Rev.", "#0000ff"), ("Pink Rev.", "#ff69b4"), ("Yellow Rev.", "#d4d442"))
+
+  private def sig(r: graft.pdfxml.ParseResult): String =
+    r.objects.map(o =>
+      s"${o.kind}|${o.typeJson}|${o.text}|${o.pageNum}|${o.givenPageNum}|" +
+      s"${o.fontSize}|${o.alignment}|${o.numLines}|${o.hasDualLine}|${o.isDualLine}|" +
+      s"${o.textAttributes.toSeq.sortBy(_._1)}|${o.revisions.toSeq.sortBy(_._1)}")
+      .mkString("\n") +
+    s"\n${r.numPages}|${r.pageSize}|${r.sceneContinuedTop}|${r.sceneContinuedBottom}|" +
+    s"${r.sceneContinuedNumber}|${r.revisions.map(v => s"${v.name}:${v.color}")}|" +
+    s"${r.lineNumbers.toSeq.sorted}"
+
+  private def check(xml: String, clue: String): Unit = {
+    val viaXml = PdfXml.parse(xml)
+    val pdf = PdfGen.fromXml(xml)
+    assert(pdf.startsWith("%PDF-1.4"), clue)
+    assert(pdf.forall(_ < 128), s"$clue: PDF must be pure ASCII for parquet strings")
+    val viaPdf = PdfXml.parsePdf(pdf)
+    assert(sig(viaXml) == sig(viaPdf), s"$clue: PDF path diverged from XML path")
+  }
+
+  test("differential: plain corpus family") {
+    for (seed <- 1 to 12)
+      check(ScreenplayGen.render(ScreenplayGen.elements(seed, 6)).xml, s"plain seed $seed")
+  }
+
+  test("differential: dual-dialog corpus family") {
+    for (seed <- 1 to 12)
+      check(ScreenplayGen.render(ScreenplayGen.elementsWithDual(seed, 6)).xml,
+        s"dual seed $seed")
+  }
+
+  test("differential: revision corpus family") {
+    for (seed <- 1 to 12)
+      check(ScreenplayGen.render(ScreenplayGen.elements(seed, 9),
+        ScreenplayGen.Options(revisions = revPalette)).xml, s"rev seed $seed")
+  }
+
+  test("differential: cross-feature corpus family (duals+revs+numbers+styles+jitter)") {
+    for (seed <- 1 to 20)
+      check(ScreenplayGen.render(ScreenplayGen.elementsWithDualTight(seed, 8),
+        ScreenplayGen.Options(revisions = revPalette, marginLineNumbers = true,
+          sceneNumbers = true, contdMarkers = true, continuedBands = true,
+          inlineStyles = true, fragmentJitter = true)).xml, s"cross seed $seed")
+  }
+
+  test("extract_turn dispatches %PDF- payloads and matches the XML path") {
+    val doc = ScreenplayGen.render(ScreenplayGen.elementsWithDual(5, 6))
+    val a = ExtractTurn.extract(doc.xml)
+    val b = ExtractTurn.extract(PdfGen.fromXml(doc.xml))
+    assert(a.format == "pdfxml" && b.format == "pdf")
+    assert(a.lines == b.lines)
+    assert(a.numPages == b.numPages && a.pageSize == b.pageSize)
+    assert(a.revisions == b.revisions && a.lineNumberSides == b.lineNumberSides)
+    assert((a.sceneContinuedTop, a.sceneContinuedBottom, a.sceneContinuedNumber) ==
+      (b.sceneContinuedTop, b.sceneContinuedBottom, b.sceneContinuedNumber))
+  }
+
+  test("FlateDecode streams inflate (byte-level API)") {
+    // compress one page's content stream and patch the PDF to declare it
+    val xml = ScreenplayGen.render(ScreenplayGen.elements(3, 4)).xml
+    val pdf = PdfGen.fromXml(xml)
+    val plainNodes = PdfXml.parse(xml)
+    // find the first content stream object and re-encode it with Flate
+    val streamRe = "(?s)(\\d+) 0 obj\\n<< /Length (\\d+) >>\\nstream\\n".r
+    val m = streamRe.findFirstMatchIn(pdf).getOrElse(fail("no stream found"))
+    val dataStart = m.end
+    val len = m.group(2).toInt
+    val raw = pdf.substring(dataStart, dataStart + len)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val compressed = java.util.Arrays.copyOf(buf, n)
+    val head = (s"${m.group(1)} 0 obj\n<< /Length $n /Filter /FlateDecode >>\nstream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val tail = pdf.substring(dataStart + len)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val pre = pdf.substring(0, m.start)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pre); out.write(head); out.write(compressed); out.write(tail)
+    // offsets after the patched object shifted -> the xref table is stale;
+    // the lexer must fall back to the object scan and still parse (real
+    // readers reconstruct exactly like this)
+    val nodes = PdfLex.toNodes(out.toByteArray)
+    val viaFlate = PdfXml.parseNodes(nodes, null)
+    assert(sig(viaFlate) == sig(plainNodes), "Flate-compressed PDF diverged")
+  }
+
+  test("damaged startxref falls back to a full object scan") {
+    val xml = ScreenplayGen.render(ScreenplayGen.elements(7, 4)).xml
+    val pdf = PdfGen.fromXml(xml)
+    val broken = pdf.replaceAll("startxref\\n\\d+", "startxref\n999999999")
+    assert(sig(PdfXml.parsePdf(broken)) == sig(PdfXml.parse(xml)),
+      "fallback scan diverged from xref path")
+    // and with startxref removed entirely
+    val stripped = pdf.substring(0, pdf.indexOf("startxref"))
+    assert(sig(PdfXml.parsePdf(stripped)) == sig(PdfXml.parse(xml)),
+      "no-trailer scan (catalog-by-type root) diverged")
+  }
+
+  test("literal-string escapes, hex strings and TJ kerning") {
+    // hand-built single-page PDF exercising lexer details the generator
+    // doesn't produce: octal escapes, \n escapes, hex strings, TJ arrays
+    // with kerning adjustments, ' next-line shows
+    val content =
+      """17 TL /F0 12 Tf 0 0 0 rg
+        |BT 1 0 0 1 108 1140 Tm (INT\056 BARN \055 DAY) Tj ET
+        |BT 1 0 0 1 252 1100 Tm [(He) 100 (llo \(there\))] TJ ET
+        |BT 1 0 0 1 252 1080 Tm <48692068657821> Tj ET
+        |BT 1 0 0 1 252 1060 Tm (line one) Tj (and two) ' ET
+        |""".stripMargin
+    val pdf = miniPdf(content, 918, 1188)
+    val pages = PdfLex.toNodes(pdf)
+    assert(pages.length == 1)
+    val texts = pages.head.children.filter(_.tag == "TEXT").toVector
+    assert(texts.map(_.value) == Vector(
+      "INT. BARN - DAY", "Hello (there)", "Hi hex!", "line one", "and two"),
+      texts.map(_.value))
+    // octal-escaped text: width still counts decoded glyphs
+    assert(texts(0).attr("WIDTH") == (15 * 7).toString)
+    // TJ kerning: a POSITIVE adjustment subtracts n/1000 * size from the
+    // advance (ISO 32000-1 §9.4.3): 100 -> -1.2 px
+    // ("Hello (there)" = 13 glyphs -> 91 - 1.2 -> round 90)
+    assert(texts(1).attr("WIDTH") == "90", texts(1).attr("WIDTH"))
+    // ' show starts TL lower than the previous line
+    assert(texts(4).attr("TOP").toInt == texts(3).attr("TOP").toInt + 17)
+  }
+
+  test("rogue payloads yield error/unknown turns, never crashes") {
+    assert(ExtractTurn.extract("%PDF-1.4\ngarbage").format == "error")
+    assert(ExtractTurn.extract("%PDF-").format == "error")
+    val truncated = PdfGen.fromXml(
+      ScreenplayGen.render(ScreenplayGen.elements(1, 3)).xml).take(500)
+    assert(ExtractTurn.extract(truncated).format == "error")
+    assert(ExtractTurn.extract("not a pdf at all").format == "unknown")
+  }
+
+  private def miniPdf(content: String, w: Int, h: Int): Array[Byte] = {
+    val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 $w $h ] " +
+        "/Resources << /Font << /F0 4 0 R >> >> /Contents 5 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier /FirstChar 32 " +
+        s"/LastChar 126 /Widths $widths >>",
+      s"<< /Length ${content.length} >>\nstream\n" + content + "\nendstream")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = new Array[Int](objs.length + 1)
+    objs.zipWithIndex.foreach { case (body, i) =>
+      offs(i + 1) = sb.length
+      sb.append(i + 1).append(" 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xref = sb.length
+    sb.append("xref\n0 ").append(objs.length + 1).append("\n0000000000 65535 f \n")
+    (1 to objs.length).foreach(n => sb.append(f"${offs(n)}%010d 00000 n \n"))
+    sb.append("trailer\n<< /Size ").append(objs.length + 1)
+      .append(" /Root 1 0 R >>\nstartxref\n").append(xref).append("\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+}
