@@ -605,11 +605,35 @@ object PdfLex {
     }
     def nextLine(): Unit = { flush(); lineY -= leading; curX = lineX; curY = lineY }
 
+    // content-stream operand parser: same grammar as parseVal EXCEPT
+    // numbers never need the `N G R` reference lookahead (content streams
+    // cannot contain indirect references, ISO 32000-1 §7.8.2) — the
+    // lookahead's save/rescan per number was measurable on number-dense
+    // streams (6+ numbers per fragment)
+    def parseOperand(): PVal = {
+      c.skipWs()
+      (c.peek: @annotation.switch) match {
+        case '(' => PStr(parseLiteralString(c))
+        case '/' => PName(parseName(c))
+        case '[' =>
+          c.p += 1
+          val items = Vector.newBuilder[PVal]
+          c.skipWs()
+          while (!c.atEnd && c.peek != ']') { items += parseOperand(); c.skipWs() }
+          if (c.atEnd) throw new PdfError("unterminated array")
+          c.p += 1
+          PArr(items.result())
+        case '<' =>
+          if (c.p + 1 < c.b.length && c.b(c.p + 1) == '<') parseDict(c)
+          else PStr(parseHexString(c))
+        case _ => parseNumber(c)
+      }
+    }
     while ({ c.skipWs(); !c.atEnd }) {
       val ch = c.peek
       if (ch == '/' || ch == '(' || ch == '[' || ch == '<' ||
           (ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.') {
-        stack += parseVal(c)
+        stack += parseOperand()
       } else {
         val op = c.keyword()
         if (op.isEmpty) c.p += 1 // skip stray delimiter (defensive)

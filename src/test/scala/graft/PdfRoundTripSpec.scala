@@ -151,6 +151,64 @@ class PdfRoundTripSpec extends AnyFunSuite {
     assert(texts(4).attr("TOP").toInt == texts(3).attr("TOP").toInt + 17)
   }
 
+  test("nested page tree with inherited MediaBox/Resources") {
+    // root Pages carries MediaBox + Resources; an intermediate Pages node
+    // holds page 1; page 2 hangs off the root — both must inherit
+    val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
+    val c1 = "17 TL /F0 12 Tf 0 0 0 rg BT 1 0 0 1 108 1140 Tm (PAGE ONE) Tj ET"
+    val c2 = "17 TL /F0 12 Tf 0 0 0 rg BT 1 0 0 1 108 1140 Tm (PAGE TWO) Tj ET"
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [ 3 0 R 5 0 R ] /Count 2 /MediaBox [ 0 0 918 1188 ] " +
+        "/Resources << /Font << /F0 6 0 R >> >> >>",
+      "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+      "<< /Type /Page /Parent 3 0 R /Contents 7 0 R >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier /FirstChar 32 " +
+        s"/LastChar 126 /Widths $widths >>",
+      s"<< /Length ${c1.length} >>\nstream\n" + c1 + "\nendstream",
+      s"<< /Length ${c2.length} >>\nstream\n" + c2 + "\nendstream")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offs = new Array[Int](objs.length + 1)
+    objs.zipWithIndex.foreach { case (body, i) =>
+      offs(i + 1) = sb.length
+      sb.append(i + 1).append(" 0 obj\n").append(body).append("\nendobj\n")
+    }
+    val xref = sb.length
+    sb.append("xref\n0 ").append(objs.length + 1).append("\n0000000000 65535 f \n")
+    (1 to objs.length).foreach(n => sb.append(f"${offs(n)}%010d 00000 n \n"))
+    sb.append("trailer\n<< /Size ").append(objs.length + 1)
+      .append(" /Root 1 0 R >>\nstartxref\n").append(xref).append("\n%%EOF\n")
+    val pages = PdfLex.toNodes(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(pages.length == 2)
+    assert(pages.map(_.attr("HEIGHT")) == Vector("1188", "1188"), "inherited MediaBox")
+    assert(pages(0).children.filter(_.tag == "TEXT").map(_.value) == Seq("PAGE ONE"))
+    assert(pages(1).children.filter(_.tag == "TEXT").map(_.value) == Seq("PAGE TWO"))
+  }
+
+  test("mutation fuzz: extract_turn is total over corrupted PDFs") {
+    val pdf = PdfGen.fromXml(
+      ScreenplayGen.render(ScreenplayGen.elementsWithDual(11, 5)).xml)
+    val r = new java.util.SplittableRandom(0xbadc0ffeL)
+    var errors = 0
+    for (_ <- 1 to 200) {
+      val b = pdf.toCharArray
+      val nMut = 1 + r.nextInt(3)
+      for (_ <- 0 until nMut) {
+        val i = r.nextInt(b.length)
+        b(i) = (r.nextInt(127 - 9) + 9).toChar // printable-ish ASCII incl. ws
+      }
+      // totality contract: any corruption yields a turn (possibly
+      // format=error or with degraded content), never an escaped throw
+      val t = ExtractTurn.extract(new String(b))
+      if (t.format == "error") errors += 1
+      assert(Set("pdf", "error", "unknown").contains(t.format), t.format)
+    }
+    // sanity: the fuzz actually hit structure sometimes, not only comments
+    assert(errors > 0, "no mutation ever broke the parse — fuzz too weak")
+  }
+
   test("rogue payloads yield error/unknown turns, never crashes") {
     assert(ExtractTurn.extract("%PDF-1.4\ngarbage").format == "error")
     assert(ExtractTurn.extract("%PDF-").format == "error")
