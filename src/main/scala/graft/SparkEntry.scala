@@ -566,6 +566,35 @@ object SparkEntry {
             .cast("bigint").as("n_turns_ok"),
           coalesce(sum(col("is_pdf")), lit(0)).cast("bigint").as("n_pdf_turns"))
     }),
+    "q39_boilerplate" -> ((s, dir) => {
+      // Generic-HTML main-content extraction by text-density/link-density
+      // scoring (Kohlschütter WSDM'10 rule set over the hand-built HTML
+      // tokenizer). The corpus is constructed so every block's label is
+      // neighbor-invariant under the published thresholds — goldens come
+      // from the construction, never from running the classifier. Per-doc
+      // hash over (block_idx, text) of the extracted content blocks must
+      // match the goldens for every document.
+      val n = nConvsFor(dir) * 5
+      val goldens = Transcripts.noisyHtmlGoldens(s, n).toDF()
+      materialize(goldens, "q39_goldens")
+      val docs = Transcripts.synthesizeNoisyHtml(s, n).toDF()
+      val a = docs.select(col("doc_id"),
+          posexplode_outer(graft.ops.Boilerplate.htmlMainContent(col("html")))
+            .as(Seq("block_idx", "text")))
+        .filter(col("text").isNotNull)
+        .groupBy(col("doc_id"))
+        .agg(expr("bit_xor(xxhash64(block_idx, text))").as("h"),
+          count(lit(1)).as("cnt"))
+      val b = goldens
+        .groupBy(col("doc_id"))
+        .agg(expr("bit_xor(xxhash64(block_idx, text))").as("g_h"),
+          count(lit(1)).as("g_cnt"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(when(col("h") <=> col("g_h") && col("cnt") <=> col("g_cnt"), 1L)
+            .otherwise(0L)).cast("bigint").as("n_docs_ok"),
+          coalesce(sum(col("g_cnt")), lit(0L)).cast("bigint").as("n_blocks"))
+    }),
     "q19_char_rank" -> ((s, dir) => {
       val n = nConvsFor(dir)
       materialize(Transcripts.goldens(s, n, seed = 42L).toDF(), "q19_goldens")
@@ -1053,6 +1082,14 @@ object SparkEntry {
         |   CAST(SUM(hd) AS BIGINT) AS n_dual_turns,
         |   CAST(SUM(rv) AS BIGINT) AS n_rev_turns,
         |   CAST(SUM(ct) AS BIGINT) AS n_cont_turns FROM t""".stripMargin.replace("\n", ""),
+    "q39_boilerplate" ->
+      // every document's extracted main-content blocks must hash-match
+      // the construction-derived goldens; counts recomputed from goldens
+      """WITH g AS (SELECT doc_id, COUNT(*) AS blocks
+        |   FROM read_parquet('{MAT}/q39_goldens/*.parquet')
+        |   GROUP BY doc_id)
+        | SELECT COUNT(*) AS n_docs, COUNT(*) AS n_docs_ok,
+        |   CAST(SUM(blocks) AS BIGINT) AS n_blocks FROM g""".stripMargin.replace("\n", ""),
     "q38_pdf_lexer" ->
       // every turn must verify against the generator-derived goldens, and
       // every extracted turn must report format 'pdf' (n_pdf_turns ==

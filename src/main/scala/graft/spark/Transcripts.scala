@@ -58,6 +58,11 @@ final case class CrossGoldenLine(
     rev_table: String, votes: String,
     cont_top: Boolean, cont_bottom: Boolean, cont_number: Boolean)
 
+/** one noisy web page for the boilerplate-density corpus (q39) */
+final case class HtmlDoc(doc_id: Long, html: String)
+/** one expected main-content block of a noisy page */
+final case class HtmlGoldenBlock(doc_id: Long, block_idx: Int, text: String)
+
 /** Deterministic synthetic multi-turn transcript corpus: each assistant
   * turn's payload is a document (pdftohtml-style XML or Shakespeare-style
   * HTML, ~50/50), other turns carry small plain-text payloads. Generation
@@ -459,6 +464,30 @@ object Transcripts {
       } else {
         val text = s"pdf-corpus turn $ti of $id: " + ("lex " * (1 + r.nextInt(6))).trim
         (Turn(id, ti, role, text, "", ts), Seq.empty[CrossGoldenLine])
+      }
+    }
+  }
+
+  /** Noisy-HTML corpus for the text-density / link-density boilerplate
+    * classifier (q39): pages built so every block's label is invariant to
+    * its neighbors under the published thresholds — the goldens are the
+    * construction, not a classifier run.
+    */
+  def synthesizeNoisyHtml(spark: SparkSession, nDocs: Long,
+      seed: Long = 2718L, parallelism: Int = 0): Dataset[HtmlDoc] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, par)
+      .map(k => HtmlDoc(k, graft.synth.NoisyHtmlGen.page(seed * 524287L + k)._1))
+  }
+
+  def noisyHtmlGoldens(spark: SparkSession, nDocs: Long,
+      seed: Long = 2718L, parallelism: Int = 0): Dataset[HtmlGoldenBlock] = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, nDocs, 1, par).flatMap { k =>
+      graft.synth.NoisyHtmlGen.page(seed * 524287L + k)._2.zipWithIndex.map {
+        case (text, bi) => HtmlGoldenBlock(k, bi, text)
       }
     }
   }
