@@ -18,7 +18,7 @@ import java.nio.file.{Files, Paths}
 object ExtractFile {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: ExtractFile <file.shakespeare|file.xml> [--limit N] [--fountain|--json]")
+      System.err.println("usage: ExtractFile <file.shakespeare|file.xml|file.pdf> [--limit N] [--fountain|--json]")
       sys.exit(2)
     }
     val path = args(0)
@@ -30,17 +30,21 @@ object ExtractFile {
     }
     val text = new String(bytes, if (path.endsWith(".shakespeare")) "ISO-8859-1" else "UTF-8")
     val isXml = path.endsWith(".xml")
-    if (!isXml && !path.endsWith(".shakespeare")) {
-      System.err.println(s"error: unsupported extension for $path (expected .shakespeare or .xml)")
+    val isPdf = path.endsWith(".pdf")
+    if (!isXml && !isPdf && !path.endsWith(".shakespeare")) {
+      System.err.println(s"error: unsupported extension for $path (expected .shakespeare, .xml or .pdf)")
       sys.exit(2); return
     }
-    lazy val parsedXml = graft.pdfxml.PdfXml.parse(text)
-    val lines = if (isXml) parsedXml.objects else Shakespeare.parse(text)
+    // raw PDFs go through the byte-stream lexer into the same pipeline
+    lazy val parsedXml =
+      if (isPdf) graft.pdfxml.PdfXml.parseNodes(graft.pdfxml.PdfLex.toNodes(bytes), null)
+      else graft.pdfxml.PdfXml.parse(text)
+    val lines = if (isXml || isPdf) parsedXml.objects else Shakespeare.parse(text)
 
     if (args.contains("--fountain")) {
       print(graft.render.Render.fountain(lines))
     } else if (args.contains("--json")) {
-      if (isXml) println(graft.render.Render.json(parsedXml))
+      if (isXml || isPdf) println(graft.render.Render.json(parsedXml))
       else {
         // HTML path: wrap the line stream in an empty-page-settings result
         val r = graft.pdfxml.ParseResult(lines, Vector(Vector.empty), Vector(Vector.empty),

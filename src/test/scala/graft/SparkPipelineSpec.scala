@@ -114,6 +114,34 @@ class SparkPipelineSpec extends AnyFunSuite {
     lines.unpersist()
   }
 
+  test("mixed-format corpus: rendering the XML turns as PDFs leaves extraction unchanged") {
+    // Spark-level differential for the raw-PDF lexer: the standard corpus
+    // (pdftohtml XML + Shakespeare HTML turns) with every XML payload
+    // re-rendered as a real PDF must extract IDENTICAL lines through the
+    // same Pipeline — dispatch, lexer and shared pipeline all attested in
+    // one distributed pass over a mixed-tool table
+    val sp = spark
+    import sp.implicits._
+    val xmlCorpus = Transcripts.synthesize(sp, nConvs = 15, seed = 7L)
+    val pdfCorpus = xmlCorpus.map { t =>
+      if (t.tool == "pdftohtml")
+        t.copy(text = graft.synth.PdfGen.fromXml(t.text), tool = "pdf")
+      else t
+    }
+    def rows(ds: org.apache.spark.sql.Dataset[graft.spark.Turn]) =
+      Pipeline.lines(Pipeline.extracted(ds.toDF()))
+        .select("conv_id", "turn_idx", "line_idx", "kind", "text", "page_num")
+        .collect().map(_.toSeq).sortBy(_.toString)
+    val a = rows(xmlCorpus)
+    val b = rows(pdfCorpus)
+    assert(a.length == b.length && a.sameElements(b),
+      s"pdf-rendered corpus diverged (${a.length} vs ${b.length} lines)")
+    // and the pdf corpus really went through the pdf path
+    val formats = Pipeline.extracted(pdfCorpus.toDF())
+      .select("ex.format").distinct().collect().map(_.getString(0)).toSet
+    assert(formats.contains("pdf"), formats)
+  }
+
   test("reference parity: single-page documents extract to zero objects") {
     // ParseText.php:645 passes an undefined variable in the non-formfeed
     // branch, so a single-page document yields no output — replicated
