@@ -259,7 +259,11 @@ object PdfLex {
     private var rescanned = false
     def offsets: Map[Int, Int] = offsetsV
 
-    /** classic xref table via startxref; None on any structural damage */
+    /** classic xref table(s) via startxref, following `/Prev` chains of
+      * incremental updates — newest table read first, so its entries win
+      * (an updated object's new offset shadows the original, exactly the
+      * PDF versioning model). None on any structural damage.
+      */
     private def readXref(): Option[Map[Int, Int]] = try {
       val tailStart = math.max(0, bytes.length - 2048)
       val tail = new String(bytes, tailStart, bytes.length - tailStart,
@@ -268,39 +272,50 @@ object PdfLex {
       if (sx < 0) return None
       val c0 = new Cur(bytes, tailStart + sx + "startxref".length)
       c0.skipWs()
-      val xrefOff = parseNumber(c0).d.toInt
-      if (xrefOff < 0 || xrefOff >= bytes.length) return None
-      val c = new Cur(bytes, xrefOff)
-      c.skipWs()
-      if (c.keyword() != "xref") return None
       val out = mutable.HashMap.empty[Int, Int]
-      var inSections = true
-      while (inSections) {
+      val defined = mutable.HashSet.empty[Int] // newest entry per obj wins, 'f' included
+      val seen = mutable.HashSet.empty[Int] // guard against /Prev cycles
+      var nextOff = parseNumber(c0).d.toInt
+      while (nextOff >= 0) {
+        if (nextOff >= bytes.length || !seen.add(nextOff)) return None
+        val c = new Cur(bytes, nextOff)
         c.skipWs()
-        if (c.peek == 't') { // trailer
-          if (c.keyword() != "trailer") return None
+        if (c.keyword() != "xref") return None
+        nextOff = -1
+        var inSections = true
+        while (inSections) {
           c.skipWs()
-          val tr = parseDict(c)
-          tr.m.get("Root") match {
-            case Some(PRef(n)) => rootFromTrailer = n
-            case _ => return None
-          }
-          inSections = false
-        } else {
-          val start = parseNumber(c).d.toInt
-          c.skipWs()
-          val count = parseNumber(c).d.toInt
-          var i = 0
-          while (i < count) {
+          if (c.peek == 't') { // trailer
+            if (c.keyword() != "trailer") return None
             c.skipWs()
-            val off = parseNumber(c).d.toInt
+            val tr = parseDict(c)
+            if (rootFromTrailer < 0) tr.m.get("Root") match {
+              case Some(PRef(n)) => rootFromTrailer = n
+              case _ => return None
+            }
+            tr.m.get("Prev") match {
+              case Some(PNum(p)) => nextOff = p.toInt
+              case _ => ()
+            }
+            inSections = false
+          } else {
+            val start = parseNumber(c).d.toInt
             c.skipWs()
-            parseNumber(c) // generation
-            c.skipWs()
-            val kind = c.peek
-            c.p += 1
-            if (kind == 'n') out(start + i) = off
-            i += 1
+            val count = parseNumber(c).d.toInt
+            var i = 0
+            while (i < count) {
+              c.skipWs()
+              val off = parseNumber(c).d.toInt
+              c.skipWs()
+              parseNumber(c) // generation
+              c.skipWs()
+              val kind = c.peek
+              c.p += 1
+              // earlier (newer) tables shadow later (older) ones — a newer
+              // 'f' (freed) entry must also block an older 'n' offset
+              if (defined.add(start + i) && kind == 'n') out(start + i) = off
+              i += 1
+            }
           }
         }
       }

@@ -151,6 +151,38 @@ class PdfRoundTripSpec extends AnyFunSuite {
     assert(texts(4).attr("TOP").toInt == texts(3).attr("TOP").toInt + 17)
   }
 
+  test("incremental update: /Prev xref chain, newest object shadows the original") {
+    // PDF-native versioning: append a replacement content stream for page 1
+    // plus a new xref section whose trailer /Prev points at the original
+    // table — the lexer must read the NEWEST definition of the updated
+    // object and the original definitions of everything else
+    val base = miniPdfString(
+      "17 TL /F0 12 Tf 0 0 0 rg BT 1 0 0 1 108 1140 Tm (ORIGINAL TEXT) Tj ET",
+      918, 1188)
+    val newContent =
+      "17 TL /F0 12 Tf 0 0 0 rg BT 1 0 0 1 108 1140 Tm (UPDATED TEXT) Tj ET"
+    val origXref = base.lastIndexOf("xref")
+    val sb = new StringBuilder(base)
+    val newObjOff = sb.length
+    // object 5 is the content stream in miniPdfString's layout
+    sb.append("5 0 obj\n<< /Length ").append(newContent.length)
+      .append(" >>\nstream\n").append(newContent).append("\nendstream\nendobj\n")
+    val newXref = sb.length
+    sb.append("xref\n5 1\n").append(f"$newObjOff%010d 00000 n \n")
+    sb.append("trailer\n<< /Size 6 /Root 1 0 R /Prev ").append(origXref)
+      .append(" >>\nstartxref\n").append(newXref).append("\n%%EOF\n")
+    val pages = PdfLex.toNodes(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(pages.length == 1)
+    assert(pages.head.children.filter(_.tag == "TEXT").map(_.value) ==
+      Seq("UPDATED TEXT"), "newest xref entry must shadow the original object")
+    // the un-updated original still reads ORIGINAL via its own (base) bytes
+    val origPages = PdfLex.toNodes(
+      base.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(origPages.head.children.filter(_.tag == "TEXT").map(_.value) ==
+      Seq("ORIGINAL TEXT"))
+  }
+
   test("nested page tree with inherited MediaBox/Resources") {
     // root Pages carries MediaBox + Resources; an intermediate Pages node
     // holds page 1; page 2 hangs off the root — both must inherit
@@ -218,7 +250,11 @@ class PdfRoundTripSpec extends AnyFunSuite {
     assert(ExtractTurn.extract("not a pdf at all").format == "unknown")
   }
 
-  private def miniPdf(content: String, w: Int, h: Int): Array[Byte] = {
+  private def miniPdf(content: String, w: Int, h: Int): Array[Byte] =
+    miniPdfString(content, w, h)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private def miniPdfString(content: String, w: Int, h: Int): String = {
     val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
     val objs = Vector(
       "<< /Type /Catalog /Pages 2 0 R >>",
@@ -239,6 +275,6 @@ class PdfRoundTripSpec extends AnyFunSuite {
     (1 to objs.length).foreach(n => sb.append(f"${offs(n)}%010d 00000 n \n"))
     sb.append("trailer\n<< /Size ").append(objs.length + 1)
       .append(" /Root 1 0 R >>\nstartxref\n").append(xref).append("\n%%EOF\n")
-    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    sb.toString
   }
 }
