@@ -19,11 +19,22 @@ import scala.collection.mutable.ArrayBuffer
   *   - classic cross-reference tables + trailer (`startxref` ... `%%EOF`),
   *     with a full-file object scan as the damaged-xref fallback (the same
   *     recovery strategy real readers use);
+  *   - PDF 1.5 cross-reference STREAMS (`/Type /XRef`, §7.5.8): `/W`
+  *     field widths, `/Index` subsections, type 0/1/2 entries — so
+  *     objects compressed into OBJECT STREAMS (`/Type /ObjStm`, §7.5.7)
+  *     resolve through their (stream, index) location; hybrid-reference
+  *     files' `/XRefStm` trailer pointer is honored (the stream's entries
+  *     shadow the same revision's classic section, which marks hidden
+  *     objects free for pre-1.5 readers, §7.5.8.4); `/Prev` chains may
+  *     mix classic tables and xref streams freely;
   *   - indirect objects, dictionaries, arrays, names (incl. `#xx`
   *     escapes), literal strings (all `\` escapes + octal), hex strings,
   *     numbers, booleans, null, references;
-  *   - streams with `/Length` direct or indirect and no filter or
-  *     `/FlateDecode` (java.util.zip.Inflater);
+  *   - streams with `/Length` direct or indirect and filter chains over
+  *     `/FlateDecode` (java.util.zip.Inflater), `/ASCIIHexDecode`, and
+  *     `/ASCII85Decode`, with `/DecodeParms` PNG predictors 10–15
+  *     (None/Sub/Up/Average/Paeth row reconstruction) and TIFF
+  *     predictor 2 (§7.4);
   *   - page tree walk with `/MediaBox`/`/Resources` inheritance;
   *   - content streams: graphics state `q`/`Q`, fill color `rg`/`g`, text
   *     state `Tf`/`TL`, positioning `Td`/`TD`/`Tm`/`T*`, showing
@@ -250,21 +261,40 @@ object PdfLex {
     private val cache = mutable.HashMap.empty[Int, PVal]
     private var rootFromTrailer: Int = -1
 
-    /** objNum -> file offset of the object header. Starts from the xref
-      * table; if an offset turns out stale (an edited file whose table was
-      * not rewritten), [[obj]] rebuilds this once from a full scan — the
-      * standard reader reconstruction strategy.
+    /** objNum -> (container ObjStm number, index within it) for objects
+      * packed into object streams — xref-stream type-2 entries (§7.5.7)
       */
-    private var offsetsV: Map[Int, Int] = readXref().getOrElse(scanObjects())
+    private var compressedV: Map[Int, (Int, Int)] = Map.empty
+    /** decoded object streams: ObjStm num -> (decoded bytes, members as
+      * (objNum, absolute offset into the decoded bytes))
+      */
+    private val objStmCache = mutable.HashMap.empty[Int, (Array[Byte], Array[(Int, Int)])]
     private var rescanned = false
-    def offsets: Map[Int, Int] = offsetsV
 
-    /** classic xref table(s) via startxref, following `/Prev` chains of
-      * incremental updates — newest table read first, so its entries win
-      * (an updated object's new offset shadows the original, exactly the
-      * PDF versioning model). None on any structural damage.
+    /** objNum -> file offset of the object header. Starts from the xref
+      * index (classic tables and/or xref streams); if an offset turns out
+      * stale (an edited file whose table was not rewritten), [[obj]]
+      * rebuilds this once from a full scan — the standard reader
+      * reconstruction strategy.
       */
-    private def readXref(): Option[Map[Int, Int]] = try {
+    private var offsetsV: Map[Int, Int] = readXref() match {
+      case Some((offs, comp)) => compressedV = comp; offs
+      case None => rebuildFromScan()
+    }
+    def offsets: Map[Int, Int] = offsetsV
+    def compressed: Map[Int, (Int, Int)] = compressedV
+
+    /** the cross-reference index via startxref — classic xref table(s) AND
+      * cross-reference streams (§7.5.8), following `/Prev` chains of
+      * incremental updates (the chain may mix both forms). Newest read
+      * first, so its entries win: an updated object's new location shadows
+      * the original, exactly the PDF versioning model. A hybrid-reference
+      * file's `/XRefStm` stream entries shadow the SAME revision's classic
+      * section (which marks ObjStm-hidden objects free for pre-1.5
+      * readers, §7.5.8.4) but never a newer update. None on any
+      * structural damage.
+      */
+    private def readXref(): Option[(Map[Int, Int], Map[Int, (Int, Int)])] = try {
       val tailStart = math.max(0, bytes.length - 2048)
       val tail = new String(bytes, tailStart, bytes.length - tailStart,
         java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -273,53 +303,147 @@ object PdfLex {
       val c0 = new Cur(bytes, tailStart + sx + "startxref".length)
       c0.skipWs()
       val out = mutable.HashMap.empty[Int, Int]
+      val comp = mutable.HashMap.empty[Int, (Int, Int)]
       val defined = mutable.HashSet.empty[Int] // newest entry per obj wins, 'f' included
       val seen = mutable.HashSet.empty[Int] // guard against /Prev cycles
+
+      /** apply one cross-reference STREAM's entries (§7.5.8.3); returns
+        * its `/Prev` offset or -1. Its dict values are required direct
+        * (§7.5.8.2), so parsing it needs no object index.
+        */
+      def applyXrefStream(off: Int): Int = {
+        val (_, v) = parseObjectAt(off)
+        val s = v match {
+          case st: PStream => st
+          case other => throw new PdfError(s"xref stream at $off is $other")
+        }
+        val d = s.dict.m
+        if (!d.get("Type").contains(PName("XRef")))
+          throw new PdfError("xref stream lacks /Type /XRef")
+        if (rootFromTrailer < 0) d.get("Root") match {
+          case Some(PRef(n)) => rootFromTrailer = n
+          case _ => throw new PdfError("xref stream has no /Root")
+        }
+        val size = d.get("Size") match {
+          case Some(PNum(x)) => x.toInt
+          case _ => throw new PdfError("xref stream has no /Size")
+        }
+        val w = d.get("W") match {
+          case Some(PArr(items)) if items.length >= 3 => items.take(3).map {
+            case PNum(x) => x.toInt
+            case other => throw new PdfError(s"bad /W entry $other")
+          }
+          case _ => throw new PdfError("xref stream has no /W")
+        }
+        val index: Vector[Int] = d.get("Index") match {
+          case Some(PArr(items)) => items.map {
+            case PNum(x) => x.toInt
+            case other => throw new PdfError(s"bad /Index entry $other")
+          }
+          case None => Vector(0, size)
+          case Some(other) => throw new PdfError(s"bad /Index $other")
+        }
+        val data = streamData(s)
+        val rowLen = w.sum
+        var p = 0
+        def field(width: Int, dflt: Long): Long = {
+          if (width == 0) dflt
+          else {
+            var acc = 0L
+            var i = 0
+            while (i < width) { acc = (acc << 8) | (data(p + i) & 0xff); i += 1 }
+            p += width
+            acc
+          }
+        }
+        var g = 0
+        while (g + 1 < index.length) {
+          val start = index(g)
+          val count = index(g + 1)
+          var i = 0
+          while (i < count) {
+            if (p + rowLen > data.length) throw new PdfError("xref stream data truncated")
+            val t = field(w(0), 1L) // absent type field defaults to type 1 (§7.5.8.3)
+            val f2 = field(w(1), 0L)
+            val f3 = field(w(2), 0L)
+            val objNum = start + i
+            t match {
+              case 0L => defined.add(objNum) // free: a newer free blocks older defs
+              case 1L => if (defined.add(objNum)) out(objNum) = f2.toInt
+              case 2L => if (defined.add(objNum)) comp(objNum) = (f2.toInt, f3.toInt)
+              case _ => () // unknown types read as the null object (§7.5.8.3)
+            }
+            i += 1
+          }
+          g += 2
+        }
+        d.get("Prev") match { case Some(PNum(x)) => x.toInt; case _ => -1 }
+      }
+
       var nextOff = parseNumber(c0).d.toInt
       while (nextOff >= 0) {
         if (nextOff >= bytes.length || !seen.add(nextOff)) return None
         val c = new Cur(bytes, nextOff)
         c.skipWs()
-        if (c.keyword() != "xref") return None
-        nextOff = -1
-        var inSections = true
-        while (inSections) {
-          c.skipWs()
-          if (c.peek == 't') { // trailer
-            if (c.keyword() != "trailer") return None
+        if (c.peek >= '0' && c.peek <= '9') {
+          // an indirect object at the startxref/Prev target = an xref stream
+          nextOff = applyXrefStream(nextOff)
+        } else {
+          if (c.keyword() != "xref") return None
+          nextOff = -1
+          // classic section: buffer entries locally — a hybrid file's
+          // /XRefStm entries take precedence over THIS revision's table
+          // but never over an already-applied newer update
+          val sec = ArrayBuffer.empty[(Int, Int, Byte)] // (obj, off, kind)
+          var inSections = true
+          while (inSections) {
             c.skipWs()
-            val tr = parseDict(c)
-            if (rootFromTrailer < 0) tr.m.get("Root") match {
-              case Some(PRef(n)) => rootFromTrailer = n
-              case _ => return None
-            }
-            tr.m.get("Prev") match {
-              case Some(PNum(p)) => nextOff = p.toInt
-              case _ => ()
-            }
-            inSections = false
-          } else {
-            val start = parseNumber(c).d.toInt
-            c.skipWs()
-            val count = parseNumber(c).d.toInt
-            var i = 0
-            while (i < count) {
+            if (c.peek == 't') { // trailer
+              if (c.keyword() != "trailer") return None
               c.skipWs()
-              val off = parseNumber(c).d.toInt
+              val tr = parseDict(c)
+              if (rootFromTrailer < 0) tr.m.get("Root") match {
+                case Some(PRef(n)) => rootFromTrailer = n
+                case _ => return None
+              }
+              tr.m.get("XRefStm") match {
+                case Some(PNum(x)) =>
+                  val xo = x.toInt
+                  if (xo < 0 || xo >= bytes.length || !seen.add(xo)) return None
+                  applyXrefStream(xo) // hybrid stream's own /Prev is ignored (§7.5.8.4)
+                case _ => ()
+              }
+              tr.m.get("Prev") match {
+                case Some(PNum(p)) => nextOff = p.toInt
+                case _ => ()
+              }
+              inSections = false
+            } else {
+              val start = parseNumber(c).d.toInt
               c.skipWs()
-              parseNumber(c) // generation
-              c.skipWs()
-              val kind = c.peek
-              c.p += 1
-              // earlier (newer) tables shadow later (older) ones — a newer
-              // 'f' (freed) entry must also block an older 'n' offset
-              if (defined.add(start + i) && kind == 'n') out(start + i) = off
-              i += 1
+              val count = parseNumber(c).d.toInt
+              var i = 0
+              while (i < count) {
+                c.skipWs()
+                val off = parseNumber(c).d.toInt
+                c.skipWs()
+                parseNumber(c) // generation
+                c.skipWs()
+                val kind = c.peek
+                c.p += 1
+                sec += ((start + i, off, kind))
+                i += 1
+              }
             }
+          }
+          // earlier (newer) revisions shadow later (older) ones — a newer
+          // 'f' (freed) entry must also block an older 'n' offset
+          sec.foreach { case (n, off, kind) =>
+            if (defined.add(n) && kind == 'n') out(n) = off
           }
         }
       }
-      Some(out.toMap)
+      Some((out.toMap, comp.toMap))
     } catch { case _: Exception => None }
 
     /** damaged-xref fallback: scan the whole buffer for `N G obj` headers
@@ -363,22 +487,36 @@ object PdfLex {
           // stale xref offset (edited file, table not rewritten): rebuild
           // the table from a full scan once and retry
           rescanned = true
-          offsetsV = scanObjects()
+          rebuildFromScan()
           try parseObjAt(num) catch { case _: PdfError => throw e }
       })
 
-    private def parseObjAt(num: Int): PVal = {
-      val off = offsets.getOrElse(num, throw new PdfError(s"object $num not found"))
+    private def parseObjAt(num: Int): PVal =
+      offsets.get(num) match {
+        case Some(off) =>
+          val (hdrNum, v) = parseObjectAt(off)
+          if (hdrNum != num)
+            throw new PdfError(s"offset of object $num holds object $hdrNum")
+          v
+        case None => compressedV.get(num) match {
+          case Some((stm, idx)) => objFromStream(num, stm, idx)
+          case None => throw new PdfError(s"object $num not found")
+        }
+      }
+
+    /** parse `N G obj <value>` at a file offset; a `stream` keyword after
+      * a dict value wraps it into a [[PStream]] over the raw data range
+      */
+    private def parseObjectAt(off: Int): (Int, PVal) = {
       val c = new Cur(bytes, off)
       c.skipWs()
       val hdrNum = parseNumber(c).d.toInt // obj num
-      if (hdrNum != num) throw new PdfError(s"offset of object $num holds object $hdrNum")
       c.skipWs(); parseNumber(c) // gen
       c.skipWs()
-      if (c.keyword() != "obj") throw new PdfError(s"bad object header for $num")
+      if (c.keyword() != "obj") throw new PdfError(s"bad object header at $off")
       val v = parseVal(c)
       c.skipWs()
-      v match {
+      val res = v match {
         case d: PDict if !c.atEnd && c.peek == 's' =>
           val save = c.p
           if (c.keyword() == "stream") {
@@ -387,12 +525,89 @@ object PdfLex {
             if (!c.atEnd && c.peek == '\n') c.p += 1
             val len = resolve(d.m.getOrElse("Length", PNull)) match {
               case PNum(x) => x.toInt
-              case _ => throw new PdfError(s"stream in object $num has no /Length")
+              case _ => throw new PdfError(s"stream at offset $off has no /Length")
             }
             PStream(d, c.p, len)
           } else { c.p = save; v }
         case _ => v
       }
+      (hdrNum, res)
+    }
+
+    /** decode an ObjStm's data and its member table: /N pairs of
+      * `objNum relOffset` before /First, offsets made absolute (§7.5.7)
+      */
+    private def decodeObjStm(s: PStream): (Array[Byte], Array[(Int, Int)]) = {
+      val n = resolve(s.dict.m.getOrElse("N", PNull)) match {
+        case PNum(x) => x.toInt
+        case _ => throw new PdfError("ObjStm has no /N")
+      }
+      val first = resolve(s.dict.m.getOrElse("First", PNull)) match {
+        case PNum(x) => x.toInt
+        case _ => throw new PdfError("ObjStm has no /First")
+      }
+      val decoded = streamData(s)
+      val hc = new Cur(decoded, 0)
+      val pairs = new Array[(Int, Int)](n)
+      var i = 0
+      while (i < n) {
+        hc.skipWs()
+        val objNum = parseNumber(hc).d.toInt
+        hc.skipWs()
+        val rel = parseNumber(hc).d.toInt
+        pairs(i) = (objNum, first + rel)
+        i += 1
+      }
+      (decoded, pairs)
+    }
+
+    /** fetch a type-2 (compressed) object out of its object stream */
+    private def objFromStream(num: Int, stmNum: Int, idx: Int): PVal = {
+      val (data, members) = objStmCache.getOrElseUpdate(stmNum, {
+        val s = resolve(obj(stmNum)) match {
+          case st: PStream => st
+          case other => throw new PdfError(s"object stream $stmNum is $other")
+        }
+        if (!s.dict.m.get("Type").contains(PName("ObjStm")))
+          throw new PdfError(s"object $stmNum is not /Type /ObjStm")
+        decodeObjStm(s)
+      })
+      // the xref entry's index is authoritative when it names this object;
+      // otherwise search the member table (robustness against writers that
+      // misnumber entries)
+      val at =
+        if (idx >= 0 && idx < members.length && members(idx)._1 == num) members(idx)._2
+        else members.collectFirst { case (n, o) if n == num => o }
+          .getOrElse(throw new PdfError(s"object $num not in ObjStm $stmNum"))
+      if (at < 0 || at >= data.length)
+        throw new PdfError(s"object $num offset out of ObjStm $stmNum bounds")
+      parseVal(new Cur(data, at)) // streams cannot live inside an ObjStm (§7.5.7)
+    }
+
+    /** full-scan reconstruction: rebuild the file-offset table, then look
+      * INSIDE every recovered /ObjStm for members the scan cannot see as
+      * top-level headers — real readers recover hidden objects the same
+      * way. Mutates offsetsV/compressedV; returns the new offsets.
+      */
+    private def rebuildFromScan(): Map[Int, Int] = {
+      offsetsV = scanObjects()
+      objStmCache.clear()
+      val extra = mutable.HashMap.empty[Int, (Int, Int)]
+      offsetsV.foreach { case (num, off) =>
+        try {
+          parseObjectAt(off) match {
+            case (_, st: PStream) if st.dict.m.get("Type").contains(PName("ObjStm")) =>
+              val (_, members) = objStmCache.getOrElseUpdate(num, decodeObjStm(st))
+              members.zipWithIndex.foreach { case ((objNum, _), idx) =>
+                if (!offsetsV.contains(objNum) && !extra.contains(objNum))
+                  extra(objNum) = (num, idx)
+              }
+            case _ => ()
+          }
+        } catch { case _: Exception => () } // damaged candidate: skip it
+      }
+      compressedV = extra.toMap ++ compressedV // xref-derived entries win
+      offsetsV
     }
 
     def resolve(v: PVal): PVal = v match {
@@ -400,23 +615,174 @@ object PdfLex {
       case x => x
     }
 
-    /** decoded stream data (no filter, or /FlateDecode) */
+    /** decoded stream data: a filter chain over /FlateDecode (with
+      * /DecodeParms predictors), /ASCIIHexDecode and /ASCII85Decode.
+      * /DecodeParms aligns per-filter when /Filter is an array (§7.3.8.2);
+      * abbreviated names (/Fl /AHx /A85 /DP) are the inline-image aliases
+      * some writers also use on regular streams.
+      */
     def streamData(s: PStream): Array[Byte] = {
       val raw = java.util.Arrays.copyOfRange(bytes, s.dataStart,
         math.min(s.dataStart + s.dataLen, bytes.length))
       val filters: Vector[String] = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
         case PName(n) => Vector(n)
-        case PArr(items) => items.map { case PName(n) => n; case other =>
-          throw new PdfError(s"bad filter entry $other") }
+        case PArr(items) => items.map { v => resolve(v) match {
+          case PName(n) => n
+          case other => throw new PdfError(s"bad filter entry $other") } }
         case PNull => Vector.empty
         case other => throw new PdfError(s"bad /Filter $other")
       }
-      filters.foldLeft(raw) { (data, f) =>
-        f match {
-          case "FlateDecode" => inflate(data)
+      val parms: Vector[PVal] = resolve(s.dict.m.get("DecodeParms")
+          .orElse(s.dict.m.get("DP")).getOrElse(PNull)) match {
+        case d: PDict => Vector(d)
+        case PArr(items) => items.map(resolve)
+        case PNull => Vector.empty
+        case other => throw new PdfError(s"bad /DecodeParms $other")
+      }
+      var data = raw
+      var i = 0
+      while (i < filters.length) {
+        val parm = if (i < parms.length) parms(i) else PNull
+        data = filters(i) match {
+          case "FlateDecode" | "Fl" => unpredict(inflate(data), parm)
+          case "ASCIIHexDecode" | "AHx" => ahxDecode(data)
+          case "ASCII85Decode" | "A85" => a85Decode(data)
           case other => throw new PdfError(s"unsupported filter /$other")
         }
+        i += 1
       }
+      data
+    }
+
+    /** undo /DecodeParms prediction after Flate: PNG predictors 10–15
+      * (per-row filter byte; None/Sub/Up/Average/Paeth reconstruction per
+      * the public PNG spec §6, which ISO 32000-1 §7.4.4.4 adopts) and
+      * TIFF predictor 2 (8-bit horizontal differencing). Predictor 1 or
+      * absent parms = identity.
+      */
+    private def unpredict(data: Array[Byte], parm: PVal): Array[Byte] = parm match {
+      case PDict(m) =>
+        def intOf(key: String, dflt: Int): Int = resolve(m.getOrElse(key, PNull)) match {
+          case PNum(x) => x.toInt
+          case _ => dflt
+        }
+        val predictor = intOf("Predictor", 1)
+        if (predictor <= 1) return data
+        val colors = intOf("Colors", 1)
+        val bpc = intOf("BitsPerComponent", 8)
+        val columns = intOf("Columns", 1)
+        if (colors < 1 || bpc < 1 || columns < 1)
+          throw new PdfError("bad predictor geometry")
+        val bpp = math.max(1, colors * bpc / 8) // bytes per sample group
+        val rowLen = (colors * bpc * columns + 7) / 8
+        if (predictor == 2) { // TIFF horizontal differencing
+          if (bpc != 8) throw new PdfError("TIFF predictor needs 8-bit components")
+          var r = 0
+          while (r + rowLen <= data.length) {
+            var i = r + bpp
+            while (i < r + rowLen) { data(i) = (data(i) + data(i - bpp)).toByte; i += 1 }
+            r += rowLen
+          }
+          data
+        } else { // PNG family: every row prefixed by its filter-type byte
+          val nRows = data.length / (rowLen + 1)
+          val out = new Array[Byte](nRows * rowLen)
+          var r = 0
+          while (r < nRows) {
+            val ft = data(r * (rowLen + 1)) & 0xff
+            val src = r * (rowLen + 1) + 1
+            val dst = r * rowLen
+            val prior = dst - rowLen // valid only when r > 0
+            var i = 0
+            while (i < rowLen) {
+              val x = data(src + i) & 0xff
+              val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+              val b = if (r > 0) out(prior + i) & 0xff else 0
+              val cc = if (r > 0 && i >= bpp) out(prior + i - bpp) & 0xff else 0
+              val rec = ft match {
+                case 0 => x // None
+                case 1 => x + a // Sub
+                case 2 => x + b // Up
+                case 3 => x + (a + b) / 2 // Average
+                case 4 => // Paeth
+                  val pp = a + b - cc
+                  val pa = math.abs(pp - a)
+                  val pb = math.abs(pp - b)
+                  val pc = math.abs(pp - cc)
+                  x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+                case other => throw new PdfError(s"bad PNG filter type $other")
+              }
+              out(dst + i) = rec.toByte
+              i += 1
+            }
+            r += 1
+          }
+          out
+        }
+      case PNull => data
+      case other => throw new PdfError(s"bad predictor parms $other")
+    }
+
+    /** /ASCIIHexDecode (§7.4.2): hex pairs, whitespace skipped, `>` ends
+      * the data, an odd trailing digit implies low nibble 0
+      */
+    private def ahxDecode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+      var hi = -1
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val ch = data(i)
+        val v =
+          if (ch >= '0' && ch <= '9') ch - '0'
+          else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+          else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+          else if (ch == '>') { done = true; -1 }
+          else if (isWs(ch)) -1
+          else throw new PdfError(s"bad ASCIIHex char '${ch.toChar}'")
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi << 4)
+      out.toByteArray
+    }
+
+    /** /ASCII85Decode (§7.4.3): base-85 groups of 5 chars -> 4 bytes,
+      * `z` = four zero bytes, `~>` ends the data, partial final group
+      * pads with `u` and emits count-1 bytes
+      */
+    private def a85Decode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+      val grp = new Array[Int](5)
+      var n = 0
+      var i = 0
+      var done = false
+      def emit(count: Int): Unit = {
+        var v = 0L
+        var k = 0
+        while (k < 5) { v = v * 85 + (if (k < count) grp(k) else 84); k += 1 }
+        var shift = 24
+        var m = 0
+        while (m < count - 1) { out.write(((v >> shift) & 0xff).toInt); shift -= 8; m += 1 }
+      }
+      while (i < data.length && !done) {
+        val ch = data(i)
+        if (ch == '~') done = true
+        else if (ch == 'z' && n == 0) {
+          out.write(0); out.write(0); out.write(0); out.write(0)
+        } else if (ch >= '!' && ch <= 'u') {
+          grp(n) = ch - '!'
+          n += 1
+          if (n == 5) { emit(5); n = 0 }
+        } else if (!isWs(ch)) throw new PdfError(s"bad ASCII85 char '${ch.toChar}'")
+        i += 1
+      }
+      if (n == 1) throw new PdfError("truncated ASCII85 group")
+      if (n > 1) emit(n)
+      out.toByteArray
     }
 
     private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -437,9 +803,10 @@ object PdfLex {
     def rootRef: Int =
       if (rootFromTrailer >= 0) rootFromTrailer
       else {
-        // fallback-scan path has no trailer: find the catalog by type
-        offsets.keys.toSeq.sorted.find { n =>
-          resolve(obj(n)) match {
+        // fallback-scan path has no trailer: find the catalog by type —
+        // it may live top-level or inside a recovered object stream
+        (offsets.keys ++ compressedV.keys).toSeq.distinct.sorted.find { n =>
+          (try resolve(obj(n)) catch { case _: PdfError => PNull }) match {
             case PDict(m) => m.get("Type").contains(PName("Catalog"))
             case _ => false
           }

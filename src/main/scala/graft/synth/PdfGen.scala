@@ -39,7 +39,27 @@ object PdfGen {
 
   def fromXml(xml: String): String = fromNodes(XmlTok.parse(xml))
 
-  def fromNodes(tops: Vector[XmlTok.XNode]): String = {
+  /** same document, serialized the way a modern (PDF 1.5+) writer would:
+    * every non-stream object packed into one object stream (`/Type
+    * /ObjStm`, Flate + ASCII85 so the file stays pure ASCII), and the
+    * cross-reference emitted as an xref STREAM (`/Type /XRef`, `W [1 3
+    * 2]`) whose rows are PNG-predictor-encoded (the per-row filter type
+    * cycles None/Sub/Up/Average/Paeth so a reader must implement all
+    * five) under Flate + ASCIIHex. Differential tests run the classic and
+    * modern serializations of the same corpus through [[graft.pdfxml.PdfLex]]
+    * and require identical extraction.
+    */
+  def fromXmlModern(xml: String): String = fromNodesModern(XmlTok.parse(xml))
+
+  def fromNodesModern(tops: Vector[XmlTok.XNode]): String =
+    serializeModern(buildObjects(tops))
+
+  def fromNodes(tops: Vector[XmlTok.XNode]): String =
+    serializeClassic(buildObjects(tops))
+
+  /** (objects as (num, body), numbers of the stream objects) */
+  private def buildObjects(
+      tops: Vector[XmlTok.XNode]): (Vector[(Int, String)], Set[Int]) = {
     val pages: Vector[XmlTok.XNode] = tops.flatMap { top =>
       if (top.tag == "PDF2XML") top.children.toVector.filter(_.tag == "PAGE")
       else if (top.tag == "PAGE") Vector(top)
@@ -75,8 +95,13 @@ object PdfGen {
       objs += (8 + 2 * i) ->
         (s"<< /Length ${content.length} >>\nstream\n" + content + "\nendstream")
     }
+    (objs.toVector, (0 until nPages).map(i => 8 + 2 * i).toSet)
+  }
 
-    // ---- serialize with a classic xref table ------------------------------
+  // ---- classic serialization (PDF 1.4: xref table + trailer) --------------
+
+  private def serializeClassic(built: (Vector[(Int, String)], Set[Int])): String = {
+    val (objs, _) = built
     val sb = new StringBuilder
     sb.append("%PDF-1.4\n")
     val offsets = new Array[Int](objs.length + 1)
@@ -92,6 +117,149 @@ object PdfGen {
     }
     sb.append("trailer\n<< /Size ").append(objs.length + 1)
       .append(" /Root 1 0 R >>\nstartxref\n").append(xrefOff).append("\n%%EOF\n")
+    sb.toString
+  }
+
+  // ---- modern serialization (PDF 1.5: ObjStm + xref stream) ---------------
+
+  private def serializeModern(built: (Vector[(Int, String)], Set[Int])): String = {
+    val (objs, streamNums) = built
+    val maxN = objs.map(_._1).max
+    val objStmNum = maxN + 1
+    val xrefNum = maxN + 2
+    val size = xrefNum + 1
+
+    // object stream: every non-stream object, in numeric order, behind
+    // /ASCII85Decode + /FlateDecode (ASCII-safe on disk, binary inside)
+    val members = objs.filter(o => !streamNums(o._1)).sortBy(_._1)
+    val bodies = members.map(_._2)
+    val rel = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = members.map(_._1).zip(rel)
+      .map { case (n, r) => s"$n $r" }.mkString("", " ", "\n")
+    val payload = header + bodies.mkString("\n")
+    val objStmEnc = a85Encode(deflate(payload.getBytes(Latin1)))
+    val objStmBody =
+      s"<< /Type /ObjStm /N ${members.length} /First ${header.length} " +
+        s"/Length ${objStmEnc.length} /Filter [ /ASCII85Decode /FlateDecode ] >>" +
+        "\nstream\n" + objStmEnc + "\nendstream"
+
+    val sb = new StringBuilder
+    sb.append("%PDF-1.5\n")
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Int]
+    (objs.filter(o => streamNums(o._1)) :+ (objStmNum -> objStmBody)).foreach {
+      case (num, body) =>
+        offsets(num) = sb.length
+        sb.append(num).append(" 0 obj\n").append(body).append("\nendobj\n")
+    }
+
+    // xref stream: W [1 3 2] rows; type 2 entries point into the ObjStm
+    val xrefOff = sb.length
+    offsets(xrefNum) = xrefOff
+    val memberIdx = members.map(_._1).zipWithIndex.toMap
+    val rows: Array[Array[Int]] = (0 until size).map { n =>
+      if (n == 0) Array(0, 0, 65535)
+      else if (memberIdx.contains(n)) Array(2, objStmNum, memberIdx(n))
+      else Array(1, offsets(n), 0)
+    }.toArray
+    val xrefEnc = ahxEncode(deflate(pngPredictEncode(rows)))
+    val xrefDict =
+      s"<< /Type /XRef /Size $size /Root 1 0 R /W [ 1 3 2 ] /Index [ 0 $size ] " +
+        "/Filter [ /ASCIIHexDecode /FlateDecode ] " +
+        "/DecodeParms [ null << /Predictor 12 /Columns 6 >> ] " +
+        s"/Length ${xrefEnc.length} >>"
+    sb.append(xrefNum).append(" 0 obj\n").append(xrefDict)
+      .append("\nstream\n").append(xrefEnc).append("\nendstream\nendobj\n")
+    sb.append("startxref\n").append(xrefOff).append("\n%%EOF\n")
+    sb.toString
+  }
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** serialize W [1 3 2] rows and PNG-predictor-encode them, cycling the
+    * row filter type None/Sub/Up/Average/Paeth so a conforming reader
+    * must reconstruct all five (the decoder computes predictions from
+    * RECONSTRUCTED bytes, which equal the raw row bytes)
+    */
+  private def pngPredictEncode(rows: Array[Array[Int]]): Array[Byte] = {
+    val rowLen = 6 // 1 (type) + 3 (field 2) + 2 (field 3)
+    val raw = Array.ofDim[Int](rows.length, rowLen)
+    rows.indices.foreach { r =>
+      val Array(t, f2, f3) = rows(r)
+      raw(r) = Array(t & 0xff, (f2 >> 16) & 0xff, (f2 >> 8) & 0xff, f2 & 0xff,
+        (f3 >> 8) & 0xff, f3 & 0xff)
+    }
+    val out = new Array[Byte](rows.length * (rowLen + 1))
+    rows.indices.foreach { r =>
+      val ft = r % 5
+      out(r * (rowLen + 1)) = ft.toByte
+      var i = 0
+      while (i < rowLen) {
+        val x = raw(r)(i)
+        val a = if (i >= 1) raw(r)(i - 1) else 0 // bpp = 1
+        val b = if (r > 0) raw(r - 1)(i) else 0
+        val c = if (r > 0 && i >= 1) raw(r - 1)(i - 1) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(r * (rowLen + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def ahxEncode(data: Array[Byte]): String = {
+    val sb = new StringBuilder(data.length * 2 + 1)
+    data.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.append('>')
+    sb.toString
+  }
+
+  private def a85Encode(data: Array[Byte]): String = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (data(i + k) & 0xff); k += 1 }
+      if (v == 0L) sb.append('z')
+      else {
+        val g = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { g(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        sb.appendAll(g)
+      }
+      i += 4
+    }
+    val left = data.length - i
+    if (left > 0) { // partial group: pad with zero bytes, emit left+1 chars
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < left) data(i + k) & 0xff else 0); k += 1 }
+      val g = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { g(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      sb.appendAll(g.take(left + 1))
+    }
+    sb.append("~>")
     sb.toString
   }
 

@@ -1,21 +1,32 @@
 package graft.tools
 
-import graft.synth.ScreenplayGen
+import graft.synth.{PdfGen, ScreenplayGen}
 
 import java.nio.file.{Files, Paths}
 
-/** CLI: write a deterministic synthetic pdftohtml-XML screenplay document.
+/** CLI: write a deterministic synthetic screenplay document. An `.xml`
+  * path gets the pdftohtml-XML form; a `.pdf` path gets the SAME document
+  * rendered as a real PDF ([[PdfGen]]) — classic xref by default, or the
+  * PDF 1.5 ObjStm + xref-stream serialization with `modern`.
   *
-  * Usage: runMain graft.tools.GenDoc <out.xml> [seed] [scenes]
+  * Usage: runMain graft.tools.GenDoc <out.xml|out.pdf> [seed] [scenes] [modern]
   */
 object GenDoc {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: GenDoc <out.xml> [seed] [scenes]"); sys.exit(2) }
+    if (args.isEmpty) {
+      System.err.println("usage: GenDoc <out.xml|out.pdf> [seed] [scenes] [modern]")
+      sys.exit(2)
+    }
     val seed = if (args.length > 1) args(1).toLong else 42L
     val scenes = if (args.length > 2) args(2).toInt else 8
+    val modern = args.length > 3 && args(3) == "modern"
     val doc = ScreenplayGen.render(ScreenplayGen.elements(seed, scenes),
       ScreenplayGen.Options(headerText = "SYNTHETIC SCRIPT"))
-    Files.write(Paths.get(args(0)), doc.xml.getBytes("UTF-8"))
-    System.err.println(s"${doc.xml.length} bytes, ${doc.expected.size} expected lines")
+    val out =
+      if (!args(0).endsWith(".pdf")) doc.xml
+      else if (modern) PdfGen.fromXmlModern(doc.xml)
+      else PdfGen.fromXml(doc.xml)
+    Files.write(Paths.get(args(0)), out.getBytes("ISO-8859-1"))
+    System.err.println(s"${out.length} bytes, ${doc.expected.size} expected lines")
   }
 }
