@@ -99,6 +99,72 @@ object SparkEntry {
     Pipeline.lines(Pipeline.extracted(transcripts))
   }
 
+
+  /** shared body of q38 (classic xref serialization) and q40 (modern
+    * ObjStm + xref-stream serialization): extract the cross-feature PDF
+    * corpus through the lexer and verify per-turn line hashes plus the
+    * doc-level fields against generator-derived goldens, counting
+    * format=='pdf' turns to pin which path produced them
+    */
+  private def pdfLexerVerify(s: SparkSession, dir: String, matName: String,
+      modern: Boolean): DataFrame = {
+    val n = math.min(nConvsFor(dir), 150L)
+    val goldens = Transcripts.pdfGoldens(s, n).toDF()
+    materialize(goldens, matName)
+    val transcripts = Transcripts.synthesizePdf(s, n, modern = modern).toDF()
+      def spanStr(c: org.apache.spark.sql.Column, mid: String): org.apache.spark.sql.Column = array_join(sort_array(
+        transform(c, x => concat(x.getField("weight").cast("string"), lit(":"),
+          x.getField("start").cast("string"), lit(mid),
+          x.getField("end").cast("string")))), "|")
+      val lines = Pipeline.extracted(transcripts).select(
+        col("conv_id"), col("turn_idx"),
+        col("ex.format").as("format"),
+        array_join(transform(col("ex.revisions"),
+          (x, i) => concat_ws(":", i.cast("string"), x.getField("name"),
+            x.getField("color"))), ";").as("rev_table"),
+        array_join(transform(col("ex.line_number_sides"),
+          v => concat_ws(":", v.getField("type"), v.getField("left").cast("string"),
+            v.getField("right").cast("string"))), ";").as("votes"),
+        col("ex.scene_continued_top").as("cont_top"),
+        col("ex.scene_continued_bottom").as("cont_bottom"),
+        col("ex.scene_continued_number").as("cont_number"),
+        posexplode_outer(col("ex.lines")).as(Seq("line_idx", "line")))
+        .filter(col("line").isNotNull)
+      val a = lines
+        .withColumn("lh", xxhash64(col("line_idx"), col("line.kind"),
+          col("line.text"), col("line.page_num"), col("line.given_page_num"),
+          col("line.column"), col("line.has_dual"), col("line.is_dual"),
+          spanStr(col("line.revs"), "-"),
+          array_join(sort_array(transform(col("line.attrs"),
+            x => concat(x.getField("key"), lit(":"),
+              x.getField("start").cast("string"), lit("-"),
+              x.getField("end").cast("string")))), "|")))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(expr("bit_xor(lh)").as("h"), count(lit(1)).as("cnt"),
+          max(col("rev_table")).as("rev_table"), max(col("votes")).as("votes"),
+          max(col("cont_top")).as("cont_top"),
+          max(col("cont_bottom")).as("cont_bottom"),
+          max(col("cont_number")).as("cont_number"),
+          max(when(col("format") === "pdf", 1).otherwise(0)).as("is_pdf"))
+      val b = goldens
+        .withColumn("lh", xxhash64(col("line_idx"), col("kind"), col("text"),
+          col("page_num"), col("given_page_num"), col("column"),
+          col("has_dual"), col("is_dual"), col("revs"), col("attrs")))
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(expr("bit_xor(lh)").as("g_h"), count(lit(1)).as("g_cnt"),
+          max(col("rev_table")).as("g_rev"), max(col("votes")).as("g_votes"),
+          max(col("cont_top")).as("g_ct"), max(col("cont_bottom")).as("g_cb"),
+          max(col("cont_number")).as("g_cn"))
+      a.join(b, Seq("conv_id", "turn_idx"), "full_outer")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("h") <=> col("g_h") && col("cnt") <=> col("g_cnt") &&
+            col("rev_table") <=> col("g_rev") && col("votes") <=> col("g_votes") &&
+            col("cont_top") <=> col("g_ct") && col("cont_bottom") <=> col("g_cb") &&
+            col("cont_number") <=> col("g_cn"), 1L).otherwise(0L))
+            .cast("bigint").as("n_turns_ok"),
+          coalesce(sum(col("is_pdf")), lit(0)).cast("bigint").as("n_pdf_turns"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational operator families over the sf tables -----------------
     "q01_agg_pricing" -> ((s, dir) => {
@@ -498,7 +564,7 @@ object SparkEntry {
           coalesce(sum(when(col("cont_top"), 1).otherwise(0)), lit(0))
             .cast("bigint").as("n_cont_turns"))
     }),
-    "q38_pdf_lexer" -> ((s, dir) => {
+    "q38_pdf_lexer" -> ((s, dir) =>
       // Raw-PDF lexer attestation: the SAME cross-feature document family
       // as q35 (duals + revisions + margin numbers + scene numbers +
       // CONT'D + CONTINUED + inline styles + fragment jitter), but every
@@ -510,62 +576,16 @@ object SparkEntry {
       // reconstruction -> shared layout/classify pipeline end-to-end.
       // n_pdf_turns counts EXTRACTED format=='pdf', pinning that the PDF
       // path (not a fallback) produced every turn.
-      val n = math.min(nConvsFor(dir), 150L)
-      val goldens = Transcripts.pdfGoldens(s, n).toDF()
-      materialize(goldens, "q38_goldens")
-      val transcripts = Transcripts.synthesizePdf(s, n).toDF()
-      def spanStr(c: org.apache.spark.sql.Column, mid: String): org.apache.spark.sql.Column = array_join(sort_array(
-        transform(c, x => concat(x.getField("weight").cast("string"), lit(":"),
-          x.getField("start").cast("string"), lit(mid),
-          x.getField("end").cast("string")))), "|")
-      val lines = Pipeline.extracted(transcripts).select(
-        col("conv_id"), col("turn_idx"),
-        col("ex.format").as("format"),
-        array_join(transform(col("ex.revisions"),
-          (x, i) => concat_ws(":", i.cast("string"), x.getField("name"),
-            x.getField("color"))), ";").as("rev_table"),
-        array_join(transform(col("ex.line_number_sides"),
-          v => concat_ws(":", v.getField("type"), v.getField("left").cast("string"),
-            v.getField("right").cast("string"))), ";").as("votes"),
-        col("ex.scene_continued_top").as("cont_top"),
-        col("ex.scene_continued_bottom").as("cont_bottom"),
-        col("ex.scene_continued_number").as("cont_number"),
-        posexplode_outer(col("ex.lines")).as(Seq("line_idx", "line")))
-        .filter(col("line").isNotNull)
-      val a = lines
-        .withColumn("lh", xxhash64(col("line_idx"), col("line.kind"),
-          col("line.text"), col("line.page_num"), col("line.given_page_num"),
-          col("line.column"), col("line.has_dual"), col("line.is_dual"),
-          spanStr(col("line.revs"), "-"),
-          array_join(sort_array(transform(col("line.attrs"),
-            x => concat(x.getField("key"), lit(":"),
-              x.getField("start").cast("string"), lit("-"),
-              x.getField("end").cast("string")))), "|")))
-        .groupBy(col("conv_id"), col("turn_idx"))
-        .agg(expr("bit_xor(lh)").as("h"), count(lit(1)).as("cnt"),
-          max(col("rev_table")).as("rev_table"), max(col("votes")).as("votes"),
-          max(col("cont_top")).as("cont_top"),
-          max(col("cont_bottom")).as("cont_bottom"),
-          max(col("cont_number")).as("cont_number"),
-          max(when(col("format") === "pdf", 1).otherwise(0)).as("is_pdf"))
-      val b = goldens
-        .withColumn("lh", xxhash64(col("line_idx"), col("kind"), col("text"),
-          col("page_num"), col("given_page_num"), col("column"),
-          col("has_dual"), col("is_dual"), col("revs"), col("attrs")))
-        .groupBy(col("conv_id"), col("turn_idx"))
-        .agg(expr("bit_xor(lh)").as("g_h"), count(lit(1)).as("g_cnt"),
-          max(col("rev_table")).as("g_rev"), max(col("votes")).as("g_votes"),
-          max(col("cont_top")).as("g_ct"), max(col("cont_bottom")).as("g_cb"),
-          max(col("cont_number")).as("g_cn"))
-      a.join(b, Seq("conv_id", "turn_idx"), "full_outer")
-        .agg(count(lit(1)).as("n_turns"),
-          sum(when(col("h") <=> col("g_h") && col("cnt") <=> col("g_cnt") &&
-            col("rev_table") <=> col("g_rev") && col("votes") <=> col("g_votes") &&
-            col("cont_top") <=> col("g_ct") && col("cont_bottom") <=> col("g_cb") &&
-            col("cont_number") <=> col("g_cn"), 1L).otherwise(0L))
-            .cast("bigint").as("n_turns_ok"),
-          coalesce(sum(col("is_pdf")), lit(0)).cast("bigint").as("n_pdf_turns"))
-    }),
+      pdfLexerVerify(s, dir, "q38_goldens", modern = false)),
+    "q40_pdf_modern" -> ((s, dir) =>
+      // Same documents, same goldens — but serialized the way a PDF 1.5+
+      // writer emits them: every non-stream object packed into an object
+      // stream, the cross-reference a predictor-encoded xref STREAM
+      // behind ASCIIHex/ASCII85+Flate filter chains. A green row proves
+      // the modern reader path (xref-stream index, ObjStm member fetch,
+      // predictor + filter decode) end-to-end through the distributed
+      // extraction pipeline.
+      pdfLexerVerify(s, dir, "q40_goldens", modern = true)),
     "q39_boilerplate" -> ((s, dir) => {
       // Generic-HTML main-content extraction by text-density/link-density
       // scoring (Kohlschütter WSDM'10 rule set over the hand-built HTML
@@ -1096,6 +1116,14 @@ object SparkEntry {
       // n_turns — recomputed as the golden turn count)
       """WITH t AS (SELECT conv_id, turn_idx
         |   FROM read_parquet('{MAT}/q38_goldens/*.parquet')
+        |   GROUP BY conv_id, turn_idx)
+        | SELECT COUNT(*) AS n_turns, COUNT(*) AS n_turns_ok,
+        |   COUNT(*) AS n_pdf_turns FROM t""".stripMargin.replace("\n", ""),
+    "q40_pdf_modern" ->
+      // identical contract to q38 over the modern (ObjStm + xref-stream)
+      // serialization of the same documents
+      """WITH t AS (SELECT conv_id, turn_idx
+        |   FROM read_parquet('{MAT}/q40_goldens/*.parquet')
         |   GROUP BY conv_id, turn_idx)
         | SELECT COUNT(*) AS n_turns, COUNT(*) AS n_turns_ok,
         |   COUNT(*) AS n_pdf_turns FROM t""".stripMargin.replace("\n", ""),

@@ -429,7 +429,8 @@ object Transcripts {
     * hand-built PDF object/xref/content-stream lexer
     * ([[graft.pdfxml.PdfLex]]).
     */
-  def pdfTurnsFor(seed: Long, k: Long, avgTurns: Int): Seq[(Turn, Seq[CrossGoldenLine])] = {
+  def pdfTurnsFor(seed: Long, k: Long, avgTurns: Int,
+      modern: Boolean = false): Seq[(Turn, Seq[CrossGoldenLine])] = {
     val r = new java.util.SplittableRandom(seed * 9100019L + k)
     val id = f"pdf-$seed%x-$k%08d"
     val nTurns = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
@@ -460,7 +461,10 @@ object Transcripts {
               doc.lineRevsExpected(li), doc.lineAttrsExpected(li),
               revTable, votes, cTop, cBottom, cNum)
         }
-        (Turn(id, ti, role, graft.synth.PdfGen.fromXml(doc.xml), "pdf", ts), goldens)
+        val pdf =
+          if (modern) graft.synth.PdfGen.fromXmlModern(doc.xml)
+          else graft.synth.PdfGen.fromXml(doc.xml)
+        (Turn(id, ti, role, pdf, "pdf", ts), goldens)
       } else {
         val text = s"pdf-corpus turn $ti of $id: " + ("lex " * (1 + r.nextInt(6))).trim
         (Turn(id, ti, role, text, "", ts), Seq.empty[CrossGoldenLine])
@@ -494,11 +498,12 @@ object Transcripts {
 
   /** Distributed synthesis of the raw-PDF corpus. */
   def synthesizePdf(spark: SparkSession, nConvs: Long, seed: Long = 9393L,
-      avgTurns: Int = 4, parallelism: Int = 0): Dataset[Turn] = {
+      avgTurns: Int = 4, parallelism: Int = 0,
+      modern: Boolean = false): Dataset[Turn] = {
     import spark.implicits._
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     spark.range(0, nConvs, 1, par)
-      .flatMap(k => pdfTurnsFor(seed, k, avgTurns).map(_._1))
+      .flatMap(k => pdfTurnsFor(seed, k, avgTurns, modern).map(_._1))
   }
 
   /** Goldens side of the raw-PDF corpus. */
