@@ -697,6 +697,47 @@ object SparkEntry {
           sum(col("n_lines")).cast("bigint").as("n_lines"))
         .orderBy(col("bucket"))
     }),
+    "q41_data_skipping" -> ((s, dir) => {
+      // File-skipping reads: write the transcripts table in the RANGE
+      // layout (per-bucket files cover contiguous conv_id ranges, so the
+      // manifest's footer-derived min/max stats are tight), then answer a
+      // range query and a point lookup THROUGH the pruned readers. The
+      // requires pin that pruning actually skipped files — without them a
+      // broken selector that selects everything would still go green.
+      // The oracle recomputes the same aggregates from the materialized
+      // dump with plain WHEREs; any wrongly-skipped file shows up as a
+      // row-count/distinct mismatch.
+      val n = math.max(60L, math.min(nConvsFor(dir), 300L))
+      val nBuckets = 8
+      val root = java.nio.file.Files.createTempDirectory("graft_q41").toString
+      val transcripts = Transcripts.synthesize(s, n, seed = 77L).toDF()
+      materialize(transcripts.select("conv_id", "turn_idx"), "q41_expected")
+      graft.spark.TranscriptTable.write(transcripts, root, nBuckets,
+        snapshotId = 1L, layout = "range")
+      // bounds/points picked by RANK over the distinct conv ids, mirrored
+      // exactly by the oracle SQL (n is bounded, so the collect is small)
+      val ids = transcripts.select("conv_id").distinct()
+        .collect().map(_.getString(0)).sorted
+      val lo = ids(5)
+      val hi = ids(20)
+      val pts = Seq(ids(1), ids((ids.length + 1) / 2 - 1), ids(ids.length - 2)).distinct
+      val (selR, totR) = graft.spark.TranscriptTable.selectFilesForRange(root, 1L, lo, hi)
+      require(selR.length < totR / 2,
+        s"range pruning too weak: ${selR.length} of $totR files selected")
+      val (selP, totP) = graft.spark.TranscriptTable.selectFilesForIds(root, 1L, pts)
+      require(selP.length < totP / 2,
+        s"point pruning too weak: ${selP.length} of $totP files selected")
+      val range = graft.spark.TranscriptTable.readConvIdRange(s, root, lo, hi)
+        .agg(count(lit(1)).as("range_rows"),
+          countDistinct(col("conv_id")).as("range_convs"))
+      val points = graft.spark.TranscriptTable.readConvIds(s, root, pts)
+        .agg(count(lit(1)).as("point_rows"))
+      val totals = graft.spark.TranscriptTable.read(s, root)
+        .agg(count(lit(1)).as("total_rows"))
+      range.crossJoin(points).crossJoin(totals)
+        .select(col("range_rows").cast("bigint"), col("range_convs").cast("bigint"),
+          col("point_rows").cast("bigint"), col("total_rows").cast("bigint"))
+    }),
     "q37_skew_stress" -> ((s, dir) => {
       // Skew-stress attestation: every conversation hashing into bucket 0
       // carries 50x the turns (planted via the Spark-compatible bucket
@@ -1127,6 +1168,28 @@ object SparkEntry {
         |   GROUP BY conv_id, turn_idx)
         | SELECT COUNT(*) AS n_turns, COUNT(*) AS n_turns_ok,
         |   COUNT(*) AS n_pdf_turns FROM t""".stripMargin.replace("\n", ""),
+    "q41_data_skipping" ->
+      // mirrors the Spark side's rank-picked bounds: range = rows whose
+      // conv_id lies between the 6th and 21st distinct id (1-based rank),
+      // points = ranks {2, (n+1)/2, n-1}; recomputed with plain WHEREs
+      // over the materialized dump — a wrongly-skipped file mismatches
+      """WITH e AS (SELECT conv_id, turn_idx
+        |   FROM read_parquet('{MAT}/q41_expected/*.parquet')),
+        | ids AS (SELECT conv_id, dense_rank() OVER (ORDER BY conv_id) AS rk
+        |   FROM (SELECT DISTINCT conv_id FROM e)),
+        | bounds AS (SELECT min(CASE WHEN rk = 6 THEN conv_id END) AS lo,
+        |   min(CASE WHEN rk = 21 THEN conv_id END) AS hi,
+        |   max(rk) AS nids FROM ids),
+        | pts AS (SELECT DISTINCT conv_id FROM ids, bounds
+        |   WHERE rk IN (2, (nids + 1) // 2, nids - 1))
+        | SELECT
+        |   (SELECT COUNT(*) FROM e, bounds
+        |      WHERE conv_id BETWEEN lo AND hi) AS range_rows,
+        |   (SELECT COUNT(DISTINCT conv_id) FROM e, bounds
+        |      WHERE conv_id BETWEEN lo AND hi) AS range_convs,
+        |   (SELECT COUNT(*) FROM e
+        |      WHERE conv_id IN (SELECT conv_id FROM pts)) AS point_rows,
+        |   (SELECT COUNT(*) FROM e) AS total_rows""".stripMargin.replace("\n", ""),
     "q36_time_travel" ->
       // snapshot 1 = the original write; snapshot 2 = bucket 0 doubled.
       // Recomputed from the materialized Spark-side bucket mapping (DuckDB

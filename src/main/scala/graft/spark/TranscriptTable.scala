@@ -45,9 +45,16 @@ object TranscriptTable {
   private def drained[A, B](stream: java.util.stream.Stream[A])(f: Iterator[A] => B): B =
     try f(stream.iterator.asScala) finally stream.close()
 
-  /** One manifest entry: the bucket a data file belongs to and its path
-    * relative to the table root. */
-  final case class DataFile(bucket: Int, path: String)
+  /** One manifest entry: the bucket a data file belongs to, its path
+    * relative to the table root, and (when collected at write time)
+    * file-level column statistics for data skipping — min/max conv_id and
+    * row count, read from the parquet FOOTER (metadata-only, the same way
+    * Iceberg collects per-file stats). Files written before stats existed
+    * carry None/-1 and are never pruned (can't skip what you can't prove).
+    */
+  final case class DataFile(bucket: Int, path: String,
+      minConvId: Option[String] = None, maxConvId: Option[String] = None,
+      rows: Long = -1L)
 
   def bucketCol(nBuckets: Int) = pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int")
 
@@ -87,6 +94,47 @@ object TranscriptTable {
     out.sortBy(_.path)
   }
 
+  /** Fill a manifest entry's stats from its parquet footer: min/max
+    * conv_id over the row groups' column-chunk statistics plus the row
+    * count. Metadata-only — no data pages are read. Parquet may truncate
+    * binary stats, but truncation keeps min a lower and max an upper
+    * bound, which is exactly what range pruning needs. Files whose footer
+    * has no usable conv_id stats stay unpruned.
+    */
+  private def footerStats(root: String, f: DataFile): DataFile = try {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$root/${f.path}"), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var mn: String = null
+      var mx: String = null
+      var rows = 0L
+      var statsOk = true
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.find(_.getPath.toDotString == "conv_id") match {
+          case Some(c) =>
+            val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              val bmin = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              val bmax = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              if (mn == null || bmin < mn) mn = bmin
+              if (mx == null || bmax > mx) mx = bmax
+            } else statsOk = false // one statless row group poisons the file's bound
+          case None => statsOk = false
+        }
+      }
+      if (statsOk && mn != null) f.copy(minConvId = Some(mn), maxConvId = Some(mx), rows = rows)
+      else f.copy(rows = rows)
+    } finally reader.close()
+  } catch { case _: Exception => f } // unreadable footer: keep the entry unpruned
+
+  private def withStats(root: String, files: Vector[DataFile]): Vector[DataFile] =
+    files.map(f => footerStats(root, f))
+
   private def writeSnapshot(root: String, snapshotId: Long, nBuckets: Int,
       schemaJson: String, manifest: Vector[DataFile]): Unit = {
     val meta = Paths.get(root, "metadata")
@@ -105,9 +153,20 @@ object TranscriptTable {
         "transform" -> Str(s"pmod(xxhash64(conv_id), $nBuckets)"),
         "n_buckets" -> Num(nBuckets.toDouble)),
       "schema" -> Str(schemaJson),
-      "manifest" -> Arr(manifest.map(f => Obj.of(
-        "bucket" -> Num(f.bucket.toDouble),
-        "path" -> Str(f.path))).toVector))
+      "manifest" -> Arr(manifest.map { f =>
+        val base = Vector[(String, Json.Value)](
+          "bucket" -> Num(f.bucket.toDouble),
+          "path" -> Str(f.path))
+        val stats: Vector[(String, Json.Value)] =
+          (if (f.rows >= 0) Vector[(String, Json.Value)]("rows" -> Num(f.rows.toDouble))
+           else Vector.empty) ++
+          ((f.minConvId, f.maxConvId) match {
+            case (Some(mn), Some(mx)) => Vector[(String, Json.Value)](
+              "min_conv_id" -> Str(mn), "max_conv_id" -> Str(mx))
+            case _ => Vector.empty
+          })
+        Obj.of(base ++ stats: _*)
+      }.toVector))
     atomicWrite(meta.resolve(s"snapshot-$snapshotId.json"), Json.write(snap))
     atomicWrite(meta.resolve("current.json"),
       Json.write(Obj.of("current_snapshot_id" -> Num(snapshotId.toDouble))))
@@ -115,17 +174,35 @@ object TranscriptTable {
 
   /** Write a conv_id-bucketed table + snapshot metadata.
     *
-    * `filesPerBucket` salts the repartition inside each bucket so a bucket
-    * is several parquet files: long-conversation skew then amortizes over
-    * several read tasks instead of one straggler per bucket.
+    * `filesPerBucket` splits each bucket into several parquet files. HOW
+    * they split is the `layout` trade-off (the same one Iceberg exposes
+    * as a table sort order):
+    *   - `"salted"` (default): a hash salt assigns conversations to files
+    *     uniformly — long-conversation skew amortizes over several read
+    *     tasks instead of one straggler per bucket, but every file spans
+    *     nearly the bucket's whole conv_id range, so the manifest's
+    *     min/max stats cannot range-prune within a bucket (bucket pruning
+    *     for point lookups still works).
+    *   - `"range"`: repartitionByRange clusters each bucket's files into
+    *     contiguous conv_id ranges (sampler-balanced by rows) — file
+    *     stats become tight, so [[readConvIdRange]]/[[readConvIds]] skip
+    *     most files; the cost is that ONE huge conversation can no longer
+    *     split across files (a range partitioner cannot split a key), so
+    *     prefer `"salted"` for heavily skewed corpora.
     */
   def write(df: DataFrame, root: String, nBuckets: Int, snapshotId: Long,
-      filesPerBucket: Int = 4): Unit = {
+      filesPerBucket: Int = 4, layout: String = "salted"): Unit = {
     requireFreshSnapshot(root, snapshotId)
     val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
-    withBucket
-      .repartition(nBuckets * filesPerBucket, col("bucket"),
-        pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
+    val split = layout match {
+      case "salted" => withBucket
+        .repartition(nBuckets * filesPerBucket, col("bucket"),
+          pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
+      case "range" => withBucket
+        .repartitionByRange(nBuckets * filesPerBucket, col("bucket"), col("conv_id"))
+      case other => sys.error(s"unknown layout '$other' (salted | range)")
+    }
+    split
       .sortWithinPartitions("conv_id", "turn_idx") // stable order within files
       .write.mode(SaveMode.Overwrite)
       // CPU-sized row groups: a parquet file only splits at ROW-GROUP
@@ -138,7 +215,7 @@ object TranscriptTable {
       .partitionBy("bucket")
       .parquet(snapDataDir(root, snapshotId))
     writeSnapshot(root, snapshotId, nBuckets, df.schema.json,
-      listDataFiles(root, snapshotId))
+      withStats(root, listDataFiles(root, snapshotId)))
   }
 
   /** Iceberg-style partition overwrite: replace ONE bucket's data in a NEW
@@ -200,7 +277,7 @@ object TranscriptTable {
         s"of $t input rows hash outside bucket $bucket and were dropped")
     val kept = readManifest(root, curId).filterNot(_.bucket == bucket)
     writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
-      kept ++ newFiles)
+      kept ++ withStats(root, newFiles))
   }
 
   /** Read the table AT a snapshot: data files resolve through that
@@ -211,6 +288,15 @@ object TranscriptTable {
   def readAt(spark: SparkSession, root: String, snapshotId: Long): DataFrame = {
     val files = readManifest(root, snapshotId)
     require(files.nonEmpty, s"snapshot $snapshotId at $root has an empty manifest")
+    readFiles(spark, root, files)
+  }
+
+  /** Build a DataFrame over an explicit manifest subset, grouped per
+    * originating snapshot dir so the `bucket=N` partition column recovers
+    * through each group's basePath.
+    */
+  private def readFiles(spark: SparkSession, root: String,
+      files: Vector[DataFile]): DataFrame =
     files.groupBy(f => f.path.split('/').take(2).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (snapRel, fs) =>
@@ -218,13 +304,93 @@ object TranscriptTable {
           .parquet(fs.map(f => s"$root/${f.path}"): _*)
       }
       .reduce(_.unionByName(_))
-  }
 
   /** Read the table at its CURRENT snapshot. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val id = currentSnapshotId(root).getOrElse(
       sys.error(s"no current snapshot at $root"))
     readAt(spark, root, id)
+  }
+
+  // ---- data skipping ------------------------------------------------------
+
+  /** Spark-compatible conv_id bucket, computed driver-side: the same
+    * xxhash64 (seed 42) + pmod the layout's [[bucketCol]] evaluates.
+    */
+  def bucketOf(convId: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(convId), 42L)
+    val m = (h % nBuckets).toInt
+    if (m < 0) m + nBuckets else m
+  }
+
+  /** Manifest subset whose [min, max] conv_id range can intersect
+    * [lo, hi]; stat-less entries always survive. Pure metadata — this is
+    * the planning step a 10^12-turn read does before touching storage.
+    */
+  def selectFilesForRange(root: String, snapshotId: Long,
+      lo: String, hi: String): (Vector[DataFile], Int) = {
+    val files = readManifest(root, snapshotId)
+    val selected = files.filter(f => (f.minConvId, f.maxConvId) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _ => true
+    })
+    (selected, files.length)
+  }
+
+  /** Manifest subset that can contain any of `convIds`: bucket pruning
+    * (partition-level, exact) composed with min/max stats (file-level).
+    */
+  def selectFilesForIds(root: String, snapshotId: Long,
+      convIds: Seq[String]): (Vector[DataFile], Int) = {
+    val meta = snapshotMeta(root, snapshotId)
+    val nBuckets = meta("partition_spec")("n_buckets").asInt
+    val wanted = convIds.map(id => bucketOf(id, nBuckets)).toSet
+    val sorted = convIds.sorted
+    val files = readManifest(root, snapshotId)
+    val selected = files.filter { f =>
+      wanted.contains(f.bucket) && ((f.minConvId, f.maxConvId) match {
+        case (Some(mn), Some(mx)) => sorted.exists(id => id >= mn && id <= mx)
+        case _ => true
+      })
+    }
+    (selected, files.length)
+  }
+
+  /** an empty frame with the snapshot's schema + the bucket column the
+    * partitioned read appends — so a fully-pruned read stays composable
+    */
+  private def emptyLike(spark: SparkSession, root: String, snapshotId: Long): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(snapshotMeta(root, snapshotId)("schema").asString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .add("bucket", org.apache.spark.sql.types.IntegerType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Range read with file skipping: only manifest entries whose conv_id
+    * stats intersect [lo, hi] are opened; the residual filter stays on
+    * for exactness (stats bound, they don't partition).
+    */
+  def readConvIdRange(spark: SparkSession, root: String,
+      lo: String, hi: String): DataFrame = {
+    val id = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root"))
+    val (selected, _) = selectFilesForRange(root, id, lo, hi)
+    if (selected.isEmpty) emptyLike(spark, root, id)
+    else readFiles(spark, root, selected).filter(col("conv_id").between(lo, hi))
+  }
+
+  /** Point-lookup read: bucket pruning + stats skipping, then the exact
+    * membership filter.
+    */
+  def readConvIds(spark: SparkSession, root: String,
+      convIds: Seq[String]): DataFrame = {
+    val id = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root"))
+    val (selected, _) = selectFilesForIds(root, id, convIds)
+    if (selected.isEmpty) emptyLike(spark, root, id)
+    else readFiles(spark, root, selected).filter(col("conv_id").isin(convIds: _*))
   }
 
   /** Drop all snapshots except `keep` (must include the current one):
@@ -277,7 +443,9 @@ object TranscriptTable {
 
   def readManifest(root: String, snapshotId: Long): Vector[DataFile] =
     snapshotMeta(root, snapshotId)("manifest").asArray.map { v =>
-      DataFile(v("bucket").asInt, v("path").asString)
+      DataFile(v("bucket").asInt, v("path").asString,
+        v.get("min_conv_id").map(_.asString), v.get("max_conv_id").map(_.asString),
+        v.get("rows").map(_.asLong).getOrElse(-1L))
     }
 
   def currentSnapshotId(root: String): Option[Long] = {

@@ -1,0 +1,175 @@
+package graft
+
+import graft.spark.TranscriptTable
+import graft.spark.TranscriptTable.DataFile
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** File skipping over the bucketed table: the manifest carries per-file
+  * conv_id min/max + row count read from the parquet footers at write
+  * time, and the pruned read paths must (a) open strictly fewer files
+  * than a full scan, (b) return EXACTLY what a full scan + filter
+  * returns, (c) prune by bucket for point lookups, and (d) degrade to
+  * no-pruning (never wrong answers) for manifests without stats.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_skip_$tag").toString
+
+  /** conv ids with a lexicographically meaningful spread: c000..c199 */
+  private def corpus(sp: SparkSession, n: Int) = {
+    import sp.implicits._
+    (0 until n).flatMap { k =>
+      val id = f"c$k%03d"
+      (0 until 3).map(t => (id, t, s"text $id/$t"))
+    }.toDF("conv_id", "turn_idx", "text")
+  }
+
+  test("manifest entries carry footer-derived stats; rows sum to the table") {
+    val sp = spark
+    val root = tmpRoot("stats")
+    TranscriptTable.write(corpus(sp, 120), root, nBuckets = 8, snapshotId = 1L)
+    val files = TranscriptTable.readManifest(root, 1L)
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.minConvId.isDefined && f.maxConvId.isDefined),
+      s"stat-less entries: ${files.filterNot(_.minConvId.isDefined)}")
+    assert(files.forall(f => f.minConvId.get <= f.maxConvId.get))
+    assert(files.map(_.rows).sum == 120L * 3, files.map(_.rows).sum)
+    // stats must actually bound the file contents
+    files.take(3).foreach { f =>
+      val actual = sp.read.parquet(s"$root/${f.path}")
+        .agg(min("conv_id"), max("conv_id")).collect()(0)
+      assert(f.minConvId.get == actual.getString(0) &&
+        f.maxConvId.get == actual.getString(1), f)
+    }
+  }
+
+  test("range read: prunes files and matches full-scan + filter exactly") {
+    val sp = spark
+    val root = tmpRoot("range")
+    TranscriptTable.write(corpus(sp, 200), root, nBuckets = 8, snapshotId = 1L)
+    val (sel, total) = TranscriptTable.selectFilesForRange(root, 1L, "c010", "c019")
+    assert(sel.length < total,
+      s"range [c010,c019] selected $sel of $total files — no pruning happened")
+    val pruned = TranscriptTable.readConvIdRange(sp, root, "c010", "c019")
+      .select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    val full = TranscriptTable.read(sp, root)
+      .filter(col("conv_id").between("c010", "c019"))
+      .select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    assert(pruned.length == 10 * 3)
+    assert(pruned.toSeq == full.toSeq)
+  }
+
+  test("point lookup: bucket pruning composes with stats, result exact") {
+    val sp = spark
+    val root = tmpRoot("ids")
+    TranscriptTable.write(corpus(sp, 200), root, nBuckets = 16, snapshotId = 1L)
+    val ids = Seq("c003", "c077", "c145")
+    val wantedBuckets = ids.map(TranscriptTable.bucketOf(_, 16)).toSet
+    // driver-side bucketOf must agree with the layout's bucket column
+    val layoutBuckets = TranscriptTable.read(sp, root)
+      .filter(col("conv_id").isin(ids: _*))
+      .select("conv_id", "bucket").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    ids.foreach(id =>
+      assert(TranscriptTable.bucketOf(id, 16) == layoutBuckets(id),
+        s"driver-side bucket disagrees with layout for $id"))
+    val (sel, total) = TranscriptTable.selectFilesForIds(root, 1L, ids)
+    assert(sel.nonEmpty && sel.length < total, s"selected ${sel.length} of $total")
+    assert(sel.forall(f => wantedBuckets.contains(f.bucket)),
+      "a selected file is outside the wanted buckets")
+    val got = TranscriptTable.readConvIds(sp, root, ids)
+      .select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == ids.sorted.flatMap(id => (0 until 3).map(id -> _)))
+  }
+
+  test("fully-pruned read returns an empty frame with the table schema") {
+    val sp = spark
+    val root = tmpRoot("empty")
+    TranscriptTable.write(corpus(sp, 40), root, nBuckets = 4, snapshotId = 1L)
+    val df = TranscriptTable.readConvIdRange(sp, root, "zzz0", "zzz9")
+    assert(df.count() == 0)
+    assert(df.columns.toSet == Set("conv_id", "turn_idx", "text", "bucket"))
+  }
+
+  test("stat-less manifest entries are never pruned (backward compat)") {
+    val sp = spark
+    val root = tmpRoot("compat")
+    TranscriptTable.write(corpus(sp, 60), root, nBuckets = 4, snapshotId = 1L)
+    // strip the stats from the manifest, as a pre-stats writer would have
+    // left it
+    val metaPath = Paths.get(root, "metadata", "snapshot-1.json")
+    val stripped = Files.readString(metaPath)
+      .replaceAll(""","min_conv_id":"[^"]*","max_conv_id":"[^"]*"""", "")
+      .replaceAll(""","rows":[0-9.]+""", "")
+    Files.writeString(metaPath, stripped)
+    val files = TranscriptTable.readManifest(root, 1L)
+    assert(files.forall(f => f.minConvId.isEmpty && f.rows == -1L),
+      "stats survived the strip — the test regex no longer matches the manifest")
+    val (sel, total) = TranscriptTable.selectFilesForRange(root, 1L, "c000", "c001")
+    assert(sel.length == total, "a stat-less entry was pruned")
+    val rows = TranscriptTable.readConvIdRange(sp, root, "c000", "c001").count()
+    assert(rows == 2 * 3)
+  }
+
+  test("range layout: per-bucket file ranges are disjoint and skip hard") {
+    val sp = spark
+    val root = tmpRoot("rangelayout")
+    TranscriptTable.write(corpus(sp, 240), root, nBuckets = 4, snapshotId = 1L,
+      filesPerBucket = 4, layout = "range")
+    val files = TranscriptTable.readManifest(root, 1L)
+    assert(files.forall(_.minConvId.isDefined))
+    // within a bucket, files must cover non-overlapping conv_id ranges
+    files.groupBy(_.bucket).foreach { case (b, fs) =>
+      val sorted = fs.sortBy(_.minConvId.get)
+      sorted.sliding(2).foreach {
+        case Vector(a2, b2) =>
+          assert(a2.maxConvId.get < b2.minConvId.get,
+            s"bucket $b files overlap: $a2 vs $b2")
+        case _ => ()
+      }
+    }
+    // a narrow range should now skip MOST files, not just some: at most
+    // ~2 surviving files per bucket (boundary overlap) out of 4
+    val (sel, total) = TranscriptTable.selectFilesForRange(root, 1L, "c010", "c014")
+    assert(sel.length <= total / 2,
+      s"range layout selected ${sel.length} of $total — stats not tight")
+    val pruned = TranscriptTable.readConvIdRange(sp, root, "c010", "c014").count()
+    assert(pruned == 5 * 3)
+  }
+
+  test("overwritten bucket's new files carry stats in the new manifest") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpRoot("ow")
+    TranscriptTable.write(corpus(sp, 60), root, nBuckets = 4, snapshotId = 1L)
+    // pick a real conv id and overwrite its bucket with doubled turns
+    val someId = "c007"
+    val b = TranscriptTable.bucketOf(someId, 4)
+    val replacement = (0 until 6).map(t => (someId, t, s"new $t"))
+      .toDF("conv_id", "turn_idx", "text")
+    TranscriptTable.overwriteBucket(replacement, root, b, newSnapshotId = 2L)
+    val newFiles = TranscriptTable.readManifest(root, 2L)
+      .filter(_.path.startsWith("data/snap-2/"))
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(_.minConvId.contains(someId)), newFiles)
+    assert(newFiles.map(_.rows).sum == 6L)
+    // pruned point lookup through the NEW snapshot sees the new rows
+    val got = TranscriptTable.readConvIds(sp, root, Seq(someId)).count()
+    assert(got == 6L)
+  }
+}
