@@ -780,12 +780,15 @@ object SparkEntry {
       // the new manifest swaps in the replacement files), then read the
       // table AT snapshot 1 — counts must match the original write —
       // and at the current snapshot — the overwritten bucket doubled,
-      // every other bucket byte-identical. expireSnapshots(keep=current)
-      // then garbage-collects exactly the replaced files: snapshot 1
-      // becomes unreadable while the current snapshot still resolves
-      // (its manifest references surviving snap-1 files for the
-      // untouched buckets). The oracle recomputes both snapshots' counts
-      // from the materialized bucket mapping.
+      // every other bucket byte-identical. A compaction pass then
+      // bin-packs the current snapshot into snapshot 3 (fewer files,
+      // identical aggregates, requires-pinned), and
+      // expireSnapshots(keep=3) garbage-collects snapshots 1 and 2 —
+      // both become unreadable while the compacted snapshot, whose
+      // manifest references only its own rewritten files, still
+      // resolves. The oracle recomputes both original snapshots' counts
+      // from the materialized bucket mapping (collected eagerly before
+      // the expire).
       val n = math.min(nConvsFor(dir), 200L)
       val nBuckets = 8
       val root = java.nio.file.Files.createTempDirectory("graft_q36").toString
@@ -816,12 +819,25 @@ object SparkEntry {
           .filter(col("bucket") =!= 0).select(cols.map(col): _*))
         .count()
       require(othersDiff == 0L, s"non-overwritten buckets drifted: $othersDiff rows")
-      graft.spark.TranscriptTable.expireSnapshots(root, keep = Set(2L))
+      // maintenance pass: bin-pack the current snapshot into snapshot 3
+      // (Iceberg rewrite_data_files) — fewer files, identical aggregates
+      val filesBefore = graft.spark.TranscriptTable.readManifest(root, 2L).length
+      graft.spark.TranscriptTable.compact(s, root, newSnapshotId = 3L,
+        filesPerBucket = 1)
+      val filesAfter = graft.spark.TranscriptTable.readManifest(root, 3L).length
+      require(filesAfter < filesBefore,
+        s"compaction did not reduce files: $filesBefore -> $filesAfter")
+      val r3 = stats(graft.spark.TranscriptTable.read(s, root))
+      require(r3 == r2, s"compaction changed contents: $r3 vs $r2")
+      graft.spark.TranscriptTable.expireSnapshots(root, keep = Set(3L))
       val r2post = stats(graft.spark.TranscriptTable.read(s, root))
       require(r2post == r2, s"current snapshot changed after expire: $r2post vs $r2")
       require(scala.util.Try(
         graft.spark.TranscriptTable.readAt(s, root, 1L)).isFailure,
         "expired snapshot 1 must no longer resolve")
+      require(scala.util.Try(
+        graft.spark.TranscriptTable.readAt(s, root, 2L)).isFailure,
+        "expired snapshot 2 must no longer resolve")
       import s.implicits._
       Seq((1L, r1.getLong(0), r1.getLong(1)), (2L, r2.getLong(0), r2.getLong(1)))
         .toDF("snap", "n_rows", "n_bucket0").orderBy(col("snap"))

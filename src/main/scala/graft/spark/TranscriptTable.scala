@@ -132,8 +132,23 @@ object TranscriptTable {
     } finally reader.close()
   } catch { case _: Exception => f } // unreadable footer: keep the entry unpruned
 
+  /** footer reads are independent metadata fetches — run them on a small
+    * pool so a many-file commit doesn't serialize thousands of ~1 ms
+    * opens on the driver
+    */
   private def withStats(root: String, files: Vector[DataFile]): Vector[DataFile] =
-    files.map(f => footerStats(root, f))
+    if (files.length <= 4) files.map(f => footerStats(root, f))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.length))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.traverse(files)(f => Future(footerStats(root, f))), Duration.Inf)
+      } finally pool.shutdown()
+    }
 
   private def writeSnapshot(root: String, snapshotId: Long, nBuckets: Int,
       schemaJson: String, manifest: Vector[DataFile]): Unit = {
@@ -310,6 +325,29 @@ object TranscriptTable {
     val id = currentSnapshotId(root).getOrElse(
       sys.error(s"no current snapshot at $root"))
     readAt(spark, root, id)
+  }
+
+  /** Bin-pack compaction (the Iceberg `rewrite_data_files` maintenance
+    * action): rewrite the CURRENT snapshot's data into `filesPerBucket`
+    * files per bucket under a NEW snapshot. Incremental writes and
+    * partition overwrites accumulate small files — a 10^12-turn table
+    * would grind scan planning and task scheduling without periodic
+    * compaction. Contents are untouched (same rows, same bucketing,
+    * fresh footer stats in the new manifest); the pre-compaction
+    * snapshot stays readable via [[readAt]] until expired.
+    */
+  def compact(spark: SparkSession, root: String, newSnapshotId: Long,
+      filesPerBucket: Int = 1, layout: String = "salted"): Unit = {
+    val curId = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root"))
+    val cur = snapshotMeta(root, curId)
+    val nBuckets = cur("partition_spec")("n_buckets").asInt
+    // write() recomputes the same bucket transform, lands the files under
+    // the new snapshot's own dir and commits the manifest + stats; the
+    // lazy read plan pulls from the old snapshot's files, so there is no
+    // self-overwrite hazard
+    write(readAt(spark, root, curId).drop("bucket"), root, nBuckets,
+      newSnapshotId, filesPerBucket, layout)
   }
 
   // ---- data skipping ------------------------------------------------------

@@ -59,6 +59,8 @@ object Explain {
     show("q34_line_number_vote", SparkEntry.queries("q34_line_number_vote")(spark, sfDir))
     show("q35_cross_verify", SparkEntry.queries("q35_cross_verify")(spark, sfDir))
     show("q38_pdf_lexer", SparkEntry.queries("q38_pdf_lexer")(spark, sfDir))
+    show("q40_pdf_modern", SparkEntry.queries("q40_pdf_modern")(spark, sfDir))
+    show("q41_data_skipping", SparkEntry.queries("q41_data_skipping")(spark, sfDir))
     show("q26_ann_ivf", SparkEntry.queries("q26_ann_ivf")(spark, sfDir))
     spark.stop()
   }

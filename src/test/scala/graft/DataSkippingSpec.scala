@@ -152,6 +152,32 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(pruned == 5 * 3)
   }
 
+  test("compaction: fewer files, identical contents, old snapshot intact") {
+    val sp = spark
+    val root = tmpRoot("compact")
+    // a fragmented table: 8 files per bucket
+    TranscriptTable.write(corpus(sp, 120), root, nBuckets = 4, snapshotId = 1L,
+      filesPerBucket = 8)
+    val before = TranscriptTable.readManifest(root, 1L)
+    TranscriptTable.compact(sp, root, newSnapshotId = 2L, filesPerBucket = 1)
+    val after = TranscriptTable.readManifest(root, 2L)
+    assert(after.length < before.length / 2,
+      s"compaction did not reduce files: ${before.length} -> ${after.length}")
+    assert(after.forall(_.minConvId.isDefined), "compacted files lost stats")
+    assert(after.map(_.rows).sum == before.map(_.rows).sum)
+    // contents identical across snapshots (modulo file layout)
+    val cols = Seq("conv_id", "turn_idx", "text")
+    val diff = TranscriptTable.readAt(sp, root, 1L).select(cols.map(col): _*)
+      .exceptAll(TranscriptTable.readAt(sp, root, 2L).select(cols.map(col): _*))
+      .count()
+    assert(diff == 0, s"compaction changed contents: $diff rows")
+    // old snapshot still time-travels until expired; then its files go
+    assert(TranscriptTable.readAt(sp, root, 1L).count() == 120 * 3)
+    TranscriptTable.expireSnapshots(root, keep = Set(2L))
+    assert(scala.util.Try(TranscriptTable.readAt(sp, root, 1L)).isFailure)
+    assert(TranscriptTable.read(sp, root).count() == 120 * 3)
+  }
+
   test("overwritten bucket's new files carry stats in the new manifest") {
     val sp = spark
     import sp.implicits._
