@@ -43,9 +43,21 @@ echo "== prep: $NCONVS conversations -> $TABLE"
   --conf spark.sql.shuffle.partitions=32 \
   --class graft.ScalingPrep "$JAR" "$TABLE" "$NCONVS" 2>/dev/null | grep '^{'
 
+# per-pair CPU calibration (graft.tools.CalibProbe via plain java — no
+# Spark session): the bench protocol learned in round 5 that artifacts
+# must label their own windows; scaling artifacts get the same defense.
+# Idle envelope ~14-15k M iters/s at 32 threads on this box.
+CALIB_CP="$JAR:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
+calib32() { java -cp "$CALIB_CP" graft.tools.CalibProbe 32 2>/dev/null \
+  | sed -n 's/calib_32t=\([0-9.]*\).*/\1/p'; }
+
 N_SAMPLES=()
 N4_SAMPLES=()
+CALIBS=()
 for p in $(seq 1 "$PAIRS"); do
+  CAL=$(calib32)
+  CALIBS+=("$CAL")
+  echo "== pair $p/$PAIRS calib_32t=$CAL M iters/s"
   echo "== pair $p/$PAIRS: N = 1 executor x $CORES cores"
   N_OUT=$("$SUBMIT" --master "local-cluster[1,$CORES,$MEM]" "${COMMON[@]}" \
     --conf spark.sql.shuffle.partitions=$CORES \
@@ -61,10 +73,11 @@ for p in $(seq 1 "$PAIRS"); do
   N4_SAMPLES+=("$N4_OUT")
 done
 
-python3 - "$CORES" "$PAIRS" "${N_SAMPLES[@]}" "${N4_SAMPLES[@]}" <<'EOF'
+python3 - "$CORES" "$PAIRS" "${CALIBS[@]}" "${N_SAMPLES[@]}" "${N4_SAMPLES[@]}" <<'EOF'
 import json, statistics, sys
 cores, pairs = int(sys.argv[1]), int(sys.argv[2])
-rows = [json.loads(a) for a in sys.argv[3:]]
+calibs = [float(c) for c in sys.argv[3:3 + pairs]]
+rows = [json.loads(a) for a in sys.argv[3 + pairs:]]
 ns, n4s = rows[:pairs], rows[pairs:]
 n_med = statistics.median(r["turns_per_sec"] for r in ns)
 n4_med = statistics.median(r["turns_per_sec"] for r in n4s)
@@ -90,6 +103,8 @@ medians defend against the host's minutes-scale throughput wander.
 
 **Scaling efficiency (median_4N / median_N) / 4 = {eff:.3f}** (target >= 0.8).
 Per-pair efficiencies: {", ".join(f"{e:.3f}" for e in pair_effs)}.
+Per-pair CPU calibration (32-thread burn before each pair; idle envelope
+~14-15k M iters/s): {", ".join(f"{c:.0f}" for c in calibs)}.
 {turns} turns / {lines} extracted lines per run.
 
 Hardware control: this sandbox's vCPUs themselves do not scale

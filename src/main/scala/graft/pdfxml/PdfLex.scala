@@ -36,11 +36,16 @@ import scala.collection.mutable.ArrayBuffer
   *     (None/Sub/Up/Average/Paeth row reconstruction) and TIFF
   *     predictor 2 (§7.4);
   *   - page tree walk with `/MediaBox`/`/Resources` inheritance;
-  *   - content streams: graphics state `q`/`Q`, fill color `rg`/`g`, text
-  *     state `Tf`/`TL`, positioning `Td`/`TD`/`Tm`/`T*`, showing
-  *     `Tj`/`TJ`/`'`/`"`; glyph advances from the font's `/Widths` array
-  *     (`/FirstChar`-based, width 0 outside the table like a missing
-  *     width), TJ kerning subtracts `n/1000 * size`.
+  *   - content streams: graphics state `q`/`Q` (full text-state
+  *     save/restore), fill color `rg`/`g`, text state
+  *     `Tf`/`TL`/`Tc`/`Tw`/`Tz`, positioning `Td`/`TD`/`Tm`/`T*`,
+  *     showing `Tj`/`TJ`/`'`/`"`; glyph advances from the font's
+  *     `/Widths` array (`/FirstChar`-based, width 0 outside the table
+  *     like a missing width) plus char/word spacing, all scaled by the
+  *     horizontal scale; TJ kerning subtracts `n/1000 * size * Tz`;
+  *   - form XObjects (`Do`, translation matrices — the text-extraction
+  *     subset) interpreted recursively with their own `/Resources`, and
+  *     inline images (`BI`...`ID`...`EI`) skipped byte-safely.
   *
   * Fragment model (mirrors what pdftohtml emits per `<text>`):
   *   - one fragment per SHOWN run between repositioning ops — `BT`, `Td`,
@@ -908,16 +913,37 @@ object PdfLex {
     f"#${c(r)}%02x${c(g)}%02x${c(b)}%02x"
   }
 
-  private def interpret(content: Array[Byte], fonts: Map[String, FontInfo],
-      pageH: Double, reg: FontspecReg): Vector[Frag] = {
+  /** the resources a content stream can reach: fonts by name, and form
+    * XObjects resolved lazily to (content bytes, own resources, tx, ty)
+    * — only translation matrices are supported (the text-extraction
+    * subset; a scaled/rotated form throws and the turn degrades to
+    * format=error rather than emitting wrong geometry)
+    */
+  private final case class Res(fonts: Map[String, FontInfo],
+      form: String => Option[(Array[Byte], Res, Double, Double)])
+
+  /** full graphics-state snapshot for q/Q — PDF saves the TEXT state
+    * parameters (font, size, leading, spacing, scale) with the graphics
+    * state too (ISO 32000-1 §8.4.2 / §9.3)
+    */
+  private final case class GState(fill: String, font: FontInfo, size: Double,
+      leading: Double, charSpacing: Double, wordSpacing: Double, hscale: Double)
+
+  private def interpret(content: Array[Byte], res: Res,
+      pageH: Double, reg: FontspecReg, depth: Int = 0): Vector[Frag] = {
+    if (depth > 8) throw new PdfError("form XObject nesting too deep")
+    val fonts = res.fonts
     val frags = Vector.newBuilder[Frag]
     val c = new Cur(content, 0)
     val stack = ArrayBuffer.empty[PVal] // operand stack
     var fill = "#000000"
-    val gsStack = ArrayBuffer.empty[String]
+    val gsStack = ArrayBuffer.empty[GState]
     var font: FontInfo = null
     var size = 0.0
     var leading = 0.0
+    var charSpacing = 0.0 // Tc
+    var wordSpacing = 0.0 // Tw
+    var hscale = 1.0      // Tz / 100
     // text object state
     var lineX = 0.0; var lineY = 0.0
     var curX = 0.0; var curY = 0.0
@@ -932,14 +958,19 @@ object PdfLex {
       case other => throw new PdfError(s"operand $other is not a number")
     }
     def advanceOf(f: FontInfo, sz: Double, s: String): Double = {
+      // per glyph: width/1000 * size + Tc + (Tw on the single-byte space
+      // code, §9.3.3), the sum scaled by Tz (§9.4.4 advance formula)
       var w = 0.0
       var i = 0
       while (i < s.length) {
-        val ci = s.charAt(i) - f.firstChar
-        if (ci >= 0 && ci < f.widths.length) w += f.widths(ci)
+        val ch = s.charAt(i)
+        val ci = ch - f.firstChar
+        if (ci >= 0 && ci < f.widths.length) w += f.widths(ci) * sz / 1000.0
+        w += charSpacing
+        if (ch == ' ') w += wordSpacing
         i += 1
       }
-      w * sz / 1000.0
+      w * hscale
     }
     def flush(): Unit = {
       if (pieceTexts.nonEmpty) {
@@ -1020,8 +1051,16 @@ object PdfLex {
         val op = c.keyword()
         if (op.isEmpty) c.p += 1 // skip stray delimiter (defensive)
         else op match {
-          case "q" => gsStack += fill
-          case "Q" => if (gsStack.nonEmpty) { fill = gsStack.last; gsStack.dropRightInPlace(1) }
+          case "q" =>
+            gsStack += GState(fill, font, size, leading,
+              charSpacing, wordSpacing, hscale)
+          case "Q" => if (gsStack.nonEmpty) {
+            val g = gsStack.last
+            gsStack.dropRightInPlace(1)
+            fill = g.fill; font = g.font; size = g.size; leading = g.leading
+            charSpacing = g.charSpacing; wordSpacing = g.wordSpacing
+            hscale = g.hscale
+          }
           case "rg" if stack.length >= 3 =>
             fill = hexColor(num(stack(stack.length - 3)),
               num(stack(stack.length - 2)), num(stack.last))
@@ -1039,6 +1078,9 @@ object PdfLex {
             font = fonts.getOrElse(fname, throw new PdfError(s"unknown font /$fname"))
             size = num(stack.last)
           case "TL" if stack.nonEmpty => leading = num(stack.last)
+          case "Tc" if stack.nonEmpty => charSpacing = num(stack.last)
+          case "Tw" if stack.nonEmpty => wordSpacing = num(stack.last)
+          case "Tz" if stack.nonEmpty => hscale = num(stack.last) / 100.0
           case "Td" if stack.length >= 2 =>
             flush()
             lineX += num(stack(stack.length - 2)); lineY += num(stack.last)
@@ -1062,7 +1104,7 @@ object PdfLex {
             stack.last match {
               case PArr(items) => items.foreach {
                 case PStr(s) => show(s)
-                case PNum(adj) => if (pieceTexts.nonEmpty) curX -= adj / 1000.0 * size
+                case PNum(adj) => if (pieceTexts.nonEmpty) curX -= adj / 1000.0 * size * hscale
                 case other => throw new PdfError(s"TJ element $other")
               }
               case other => throw new PdfError(s"TJ operand $other")
@@ -1074,13 +1116,55 @@ object PdfLex {
               case other => throw new PdfError(s"' operand $other")
             }
           case "\"" if stack.length >= 3 =>
-            // word/char spacing operands are accepted but not applied to
-            // advances (out of the extraction subset's scope)
+            // aw ac string ": set word then char spacing, next line, show
+            wordSpacing = num(stack(stack.length - 3))
+            charSpacing = num(stack(stack.length - 2))
             nextLine()
             stack.last match {
               case PStr(s) => show(s)
               case other => throw new PdfError(s"\" operand $other")
             }
+          case "Do" if stack.nonEmpty =>
+            stack.last match {
+              case PName(n) => res.form(n) match {
+                case Some((data, childRes, dx, dy)) =>
+                  // form XObject: run its content through the same
+                  // interpreter, then translate the fragments by the
+                  // form's matrix offset (top = pageH - y - size, so a
+                  // +ty translation moves top UP by ty)
+                  flush()
+                  frags ++= interpret(data, childRes, pageH, reg, depth + 1)
+                    .map(f => f.copy(top = f.top - math.round(dy).toInt,
+                      left = f.left + math.round(dx).toInt))
+                case None => () // image XObject (or unknown): no text
+              }
+              case other => throw new PdfError(s"Do operand $other")
+            }
+          case "BI" =>
+            // inline image (§8.9.7): skip `key value` pairs to ID, then
+            // raw binary until a whitespace-delimited EI — the binary may
+            // contain bytes that would derail the operand parser
+            var sawID = false
+            while (!sawID && !c.atEnd) {
+              c.skipWs()
+              if (c.atEnd) throw new PdfError("unterminated inline image dict")
+              else if (c.peek == '/') { parseOperand(); c.skipWs(); parseOperand() }
+              else {
+                val kw = c.keyword()
+                if (kw == "ID") sawID = true
+                else if (kw.isEmpty) c.p += 1
+                else throw new PdfError(s"unexpected '$kw' in inline image dict")
+              }
+            }
+            if (!c.atEnd) c.p += 1 // the single whitespace byte after ID
+            var end = -1
+            var i = c.p
+            while (end < 0 && i + 2 < c.b.length) {
+              if (isWs(c.b(i)) && c.b(i + 1) == 'E' && c.b(i + 2) == 'I' &&
+                  (i + 3 >= c.b.length || !isRegular(c.b(i + 3)))) end = i + 3
+              i += 1
+            }
+            c.p = if (end < 0) c.b.length else end
           case _ => // unknown operator: PDF operand-stack semantics say drop operands
         }
         stack.clear()
@@ -1106,12 +1190,46 @@ object PdfLex {
           (num(doc, x1) - num(doc, x0), num(doc, y1) - num(doc, y0))
         case _ => throw new PdfError(s"page ${pi + 1} has no /MediaBox")
       }
-      val fonts: Map[String, FontInfo] =
-        doc.resolve(page.m.getOrElse("Resources", PDict(Map.empty))) match {
-          case PDict(res) => doc.resolve(res.getOrElse("Font", PDict(Map.empty))) match {
-            case PDict(fm) => fm.map { case (k, v) => k -> fontInfo(doc, v) }
-            case other => throw new PdfError(s"bad /Font $other")
+      /** fonts + lazily-resolved form XObjects for a /Resources dict; a
+        * form without its own /Resources inherits the invoking one
+        */
+      def resOf(resDict: Map[String, PVal]): Res = {
+        val fonts = doc.resolve(resDict.getOrElse("Font", PDict(Map.empty))) match {
+          case PDict(fm) => fm.map { case (k, v) => k -> fontInfo(doc, v) }
+          case other => throw new PdfError(s"bad /Font $other")
+        }
+        val xobjs: Map[String, PVal] =
+          doc.resolve(resDict.getOrElse("XObject", PDict(Map.empty))) match {
+            case PDict(m) => m
+            case other => throw new PdfError(s"bad /XObject $other")
           }
+        Res(fonts, name => xobjs.get(name).flatMap { v =>
+          doc.resolve(v) match {
+            case s: PStream if s.dict.m.get("Subtype").contains(PName("Form")) =>
+              val data = doc.streamData(s)
+              val childDict = doc.resolve(s.dict.m.getOrElse("Resources", PNull)) match {
+                case PDict(m) => m
+                case _ => resDict
+              }
+              val (dx, dy) = doc.resolve(s.dict.m.getOrElse("Matrix", PNull)) match {
+                case PNull => (0.0, 0.0)
+                case PArr(Vector(a, b, cc, d, e, f)) =>
+                  if (num(doc, a) != 1.0 || num(doc, b) != 0.0 ||
+                      num(doc, cc) != 0.0 || num(doc, d) != 1.0)
+                    throw new PdfError(
+                      "form XObject with a non-translation /Matrix is outside the text-extraction subset")
+                  (num(doc, e), num(doc, f))
+                case other => throw new PdfError(s"bad form /Matrix $other")
+              }
+              Some((data, resOf(childDict), dx, dy))
+            case _: PStream => None // image XObject: no text
+            case other => throw new PdfError(s"XObject /$name is $other")
+          }
+        })
+      }
+      val pageRes: Map[String, PVal] =
+        doc.resolve(page.m.getOrElse("Resources", PDict(Map.empty))) match {
+          case PDict(res) => res
           case other => throw new PdfError(s"bad /Resources $other")
         }
       val content: Array[Byte] = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
@@ -1128,7 +1246,7 @@ object PdfLex {
         case other => throw new PdfError(s"bad /Contents $other")
       }
       val reg = new FontspecReg
-      val frags = interpret(content, fonts, ph, reg)
+      val frags = interpret(content, resOf(pageRes), ph, reg)
 
       val pageNode = XmlTok.synthNode("PAGE",
         Array("NUMBER", "POSITION", "TOP", "LEFT", "HEIGHT", "WIDTH"),
