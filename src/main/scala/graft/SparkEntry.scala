@@ -907,6 +907,50 @@ object SparkEntry {
           col("first_ts"), col("last_ts"))
         .orderBy(col("conv_id"))
     }),
+    "q42_stream_restart" -> ((s, dir) => {
+      // Exactly-once restart: drain HALF the input with an AvailableNow
+      // run, stop, land the second half, then RESTART the same query
+      // from the SAME checkpoint + sink. The restarted run must process
+      // only the new files (checkpointed source offsets) and the sink
+      // union must equal one continuous run — no duplicated turns (file
+      // sink transaction log), no gaps. This is the operational property
+      // a 10^12-turn backfill leans on: a stopped/failed job resumes
+      // without reprocessing or double-writing. The requires pin the
+      // restart semantics; the oracle pins the end state (per-turn totals
+      // over the WHOLE corpus from the generator goldens).
+      val n = math.min(nConvsFor(dir), 100L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q42").toString
+      val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      val withHalf = transcripts
+        .withColumn("half", pmod(xxhash64(col("conv_id")), lit(2)))
+      withHalf.filter(col("half") === 0).drop("half")
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      materialize(Transcripts.goldens(s, n, seed = 42L).toDF()
+        .groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("g_lines")), "q42_expected")
+      def runOnce(label: String): Long = {
+        val q = graft.streaming.StreamingExtract.startParquet(
+          graft.streaming.StreamingExtract.extractedStream(
+            graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in")),
+          s"$tmp/out", s"$tmp/ck")
+        awaitStream(q, label)
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      val in1 = runOnce("q42_run1")
+      // the second half lands while the query is DOWN
+      withHalf.filter(col("half") === 1).drop("half")
+        .write.mode("append").parquet(s"$tmp/in")
+      val in2 = runOnce("q42_run2")
+      require(in1 > 0 && in2 > 0, s"both runs must process data: $in1 / $in2")
+      require(in2 < transcripts.count(),
+        s"restart reprocessed old input: $in2 rows in run 2")
+      val sink = s.read.parquet(s"$tmp/out")
+      val dupes = sink.groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      require(dupes == 0L, s"$dupes turns duplicated across the restart")
+      sink.agg(count(lit(1)).cast("bigint").as("n_turns"),
+        coalesce(sum(col("n_lines")), lit(0L)).cast("bigint").as("n_lines"))
+    }),
     "q30_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup (dropDuplicatesWithinWatermark): plant exact
       // copies of 20 document turns under fresh conv ids, stream the lot,
@@ -1184,6 +1228,13 @@ object SparkEntry {
         |   GROUP BY conv_id, turn_idx)
         | SELECT COUNT(*) AS n_turns, COUNT(*) AS n_turns_ok,
         |   COUNT(*) AS n_pdf_turns FROM t""".stripMargin.replace("\n", ""),
+    "q42_stream_restart" ->
+      // the sink after stop + restart must hold exactly the whole
+      // corpus's turns once: totals recomputed from the per-turn goldens
+      """SELECT COUNT(*) AS n_turns,
+        |   CAST(SUM(g_lines) AS BIGINT) AS n_lines
+        | FROM read_parquet('{MAT}/q42_expected/*.parquet')""".stripMargin
+        .replace("\n", ""),
     "q41_data_skipping" ->
       // mirrors the Spark side's rank-picked bounds: range = rows whose
       // conv_id lies between the 6th and 21st distinct id (1-based rank),
