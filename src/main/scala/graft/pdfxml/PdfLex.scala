@@ -45,7 +45,11 @@ import scala.collection.mutable.ArrayBuffer
   *     horizontal scale; TJ kerning subtracts `n/1000 * size * Tz`;
   *   - form XObjects (`Do`, translation matrices — the text-extraction
   *     subset) interpreted recursively with their own `/Resources`, and
-  *     inline images (`BI`...`ID`...`EI`) skipped byte-safely.
+  *     inline images (`BI`...`ID`...`EI`) skipped byte-safely;
+  *   - simple-font `/Encoding` (§9.6.5): WinAnsi (= windows-1252, curly
+  *     quotes/dashes in 0x80–0x9F), MacRoman, and `/Differences` arrays
+  *     over a practical Adobe-Glyph-List subset — text decodes, glyph
+  *     advances stay indexed by the raw byte code.
   *
   * Fragment model (mirrors what pdftohtml emits per `<text>`):
   *   - one fragment per SHOWN run between repositioning ops — `BT`, `Td`,
@@ -854,9 +858,99 @@ object PdfLex {
 
   // ---- fonts --------------------------------------------------------------
 
-  /** the subset of font metadata the text interpreter needs */
+  /** the subset of font metadata the text interpreter needs; `decode`
+    * maps each BYTE code to its Unicode char per the font's /Encoding
+    * (§9.6.5) — advances stay indexed by the raw byte code, only the
+    * emitted text decodes
+    */
   final case class FontInfo(family: String, style: String, firstChar: Int,
-      widths: Array[Double])
+      widths: Array[Double], decode: Array[Char]) {
+    /** all standard base encodings agree with ASCII below 0x80 — only a
+      * /Differences that remaps an ASCII code defeats the no-copy path
+      */
+    val asciiIdentity: Boolean = {
+      var i = 0
+      var ok = true
+      while (ok && i < 128) { ok = decode(i) == i.toChar; i += 1 }
+      ok
+    }
+  }
+
+  /** byte -> char table for a named JDK charset; identity where the
+    * charset leaves a byte undefined (or the charset is missing)
+    */
+  private def charsetDecode(name: String): Array[Char] = {
+    val out = new Array[Char](256)
+    var i = 0
+    while (i < 256) { out(i) = i.toChar; i += 1 }
+    try {
+      val cs = java.nio.charset.Charset.forName(name)
+      i = 0
+      while (i < 256) {
+        val s = new String(Array(i.toByte), cs)
+        if (s.length == 1 && s.charAt(0) != '�') out(i) = s.charAt(0)
+        i += 1
+      }
+    } catch { case _: Exception => () }
+    out
+  }
+
+  private val latin1Decode: Array[Char] = charsetDecode("ISO-8859-1")
+  /** WinAnsiEncoding is windows-1252 (Annex D) — it differs from latin-1
+    * exactly in 0x80-0x9F (curly quotes, dashes, ellipsis, ...)
+    */
+  private val winAnsiDecode: Array[Char] = charsetDecode("windows-1252")
+  private val macRomanDecode: Array[Char] = charsetDecode("x-MacRoman")
+
+  /** the practical subset of the Adobe Glyph List that /Differences
+    * arrays actually use in text PDFs; single-letter names map to
+    * themselves, everything unknown keeps the byte's identity char
+    */
+  private val glyphNames: Map[String, Char] = Map(
+    "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"', "numbersign" -> '#',
+    "dollar" -> '$', "percent" -> '%', "ampersand" -> '&', "quotesingle" -> '\'',
+    "parenleft" -> '(', "parenright" -> ')', "asterisk" -> '*', "plus" -> '+',
+    "comma" -> ',', "hyphen" -> '-', "minus" -> '-', "period" -> '.',
+    "slash" -> '/', "zero" -> '0', "one" -> '1', "two" -> '2', "three" -> '3',
+    "four" -> '4', "five" -> '5', "six" -> '6', "seven" -> '7', "eight" -> '8',
+    "nine" -> '9', "colon" -> ':', "semicolon" -> ';', "less" -> '<',
+    "equal" -> '=', "greater" -> '>', "question" -> '?', "at" -> '@',
+    "bracketleft" -> '[', "backslash" -> '\\', "bracketright" -> ']',
+    "asciicircum" -> '^', "underscore" -> '_', "grave" -> '`',
+    "braceleft" -> '{', "bar" -> '|', "braceright" -> '}', "asciitilde" -> '~',
+    "quoteleft" -> '‘', "quoteright" -> '’',
+    "quotedblleft" -> '“', "quotedblright" -> '”',
+    "quotesinglbase" -> '‚', "quotedblbase" -> '„',
+    "endash" -> '–', "emdash" -> '—', "bullet" -> '•',
+    "ellipsis" -> '…', "dagger" -> '†', "daggerdbl" -> '‡',
+    "perthousand" -> '‰', "guilsinglleft" -> '‹',
+    "guilsinglright" -> '›', "guillemotleft" -> '«',
+    "guillemotright" -> '»', "trademark" -> '™',
+    "copyright" -> '©', "registered" -> '®', "degree" -> '°',
+    "florin" -> 'ƒ', "fraction" -> '⁄', "circumflex" -> 'ˆ',
+    "tilde" -> '˜', "fi" -> 'ﬁ', "fl" -> 'ﬂ',
+    "oe" -> 'œ', "OE" -> 'Œ', "ae" -> 'æ', "AE" -> 'Æ',
+    "oslash" -> 'ø', "Oslash" -> 'Ø', "aring" -> 'å',
+    "Aring" -> 'Å', "ccedilla" -> 'ç', "Ccedilla" -> 'Ç',
+    "ntilde" -> 'ñ', "Ntilde" -> 'Ñ', "germandbls" -> 'ß',
+    "eacute" -> 'é', "egrave" -> 'è', "ecircumflex" -> 'ê',
+    "edieresis" -> 'ë', "aacute" -> 'á', "agrave" -> 'à',
+    "acircumflex" -> 'â', "adieresis" -> 'ä', "iacute" -> 'í',
+    "igrave" -> 'ì', "icircumflex" -> 'î', "idieresis" -> 'ï',
+    "oacute" -> 'ó', "ograve" -> 'ò', "ocircumflex" -> 'ô',
+    "odieresis" -> 'ö', "uacute" -> 'ú', "ugrave" -> 'ù',
+    "ucircumflex" -> 'û', "udieresis" -> 'ü',
+    "Adieresis" -> 'Ä', "Odieresis" -> 'Ö', "Udieresis" -> 'Ü',
+    "yacute" -> 'ý', "ydieresis" -> 'ÿ', "Eacute" -> 'É',
+    "sterling" -> '£', "yen" -> '¥', "cent" -> '¢',
+    "currency" -> '¤', "section" -> '§', "paragraph" -> '¶',
+    "questiondown" -> '¿', "exclamdown" -> '¡', "mu" -> 'µ',
+    "plusminus" -> '±', "multiply" -> '×', "divide" -> '÷',
+    "onehalf" -> '½', "onequarter" -> '¼', "threequarters" -> '¾',
+    "Euro" -> '€')
+
+  private def glyphChar(name: String): Option[Char] =
+    if (name.length == 1) Some(name.charAt(0)) else glyphNames.get(name)
 
   private def fontInfo(doc: PdfDoc, v: PVal): FontInfo = {
     val d = doc.resolve(v) match {
@@ -888,7 +982,42 @@ object PdfLex {
       }.toArray
       case _ => Array.empty[Double]
     }
-    FontInfo(family, style, firstChar, widths)
+    def baseDecode(n: String): Array[Char] = n match {
+      case "WinAnsiEncoding" => winAnsiDecode
+      case "MacRomanEncoding" => macRomanDecode
+      case _ => latin1Decode // StandardEncoding etc.: ASCII-compatible
+    }
+    val decode = doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
+      case PNull => latin1Decode
+      case PName(n) => baseDecode(n)
+      case PDict(em) =>
+        val base = doc.resolve(em.getOrElse("BaseEncoding", PNull)) match {
+          case PName(n) => baseDecode(n)
+          case _ => latin1Decode
+        }
+        doc.resolve(em.getOrElse("Differences", PNull)) match {
+          case PNull => base
+          case PArr(items) =>
+            // [ code name name ... code name ... ]: each name takes the
+            // next code (§9.6.5.1); unknown glyph names keep identity
+            val out = base.clone()
+            var code = 0
+            items.foreach { v =>
+              doc.resolve(v) match {
+                case PNum(x) => code = x.toInt
+                case PName(g) =>
+                  if (code >= 0 && code < 256)
+                    glyphChar(g).foreach(ch => out(code) = ch)
+                  code += 1
+                case other => throw new PdfError(s"bad /Differences entry $other")
+              }
+            }
+            out
+          case other => throw new PdfError(s"bad /Differences $other")
+        }
+      case other => throw new PdfError(s"bad /Encoding $other")
+    }
+    FontInfo(family, style, firstChar, widths, decode)
   }
 
   // ---- content-stream interpretation --------------------------------------
@@ -1001,6 +1130,25 @@ object PdfLex {
         pieceTexts.clear(); pieceStyles.clear()
       }
     }
+    def decodeText(f: FontInfo, s: String): String = {
+      if (f.decode eq latin1Decode) s // identity: no per-show allocation
+      else if (f.asciiIdentity && { // pure-ASCII show under a standard base
+        var i = 0
+        var ascii = true
+        while (ascii && i < s.length) { ascii = s.charAt(i) < 0x80; i += 1 }
+        ascii
+      }) s
+      else {
+        val out = new Array[Char](s.length)
+        var i = 0
+        while (i < s.length) {
+          val ch = s.charAt(i)
+          out(i) = if (ch < 256) f.decode(ch) else ch
+          i += 1
+        }
+        new String(out)
+      }
+    }
     def show(s: String): Unit = {
       if (font == null) throw new PdfError("show before Tf")
       if (s.isEmpty && pieceTexts.isEmpty) {
@@ -1012,8 +1160,8 @@ object PdfLex {
           fragSize = size; fragColor = fill; fragFamily = font.family
         }
         pieceStyles += font.style
-        pieceTexts += s
-        curX += advanceOf(font, size, s)
+        pieceTexts += decodeText(font, s)
+        curX += advanceOf(font, size, s) // advances index by RAW byte code
       }
     }
     def nextLine(): Unit = { flush(); lineY -= leading; curX = lineX; curY = lineY }

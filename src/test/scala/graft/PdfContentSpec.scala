@@ -98,6 +98,32 @@ class PdfContentSpec extends AnyFunSuite {
       ("ON PAGE", 100, 176), ("IN FORM", 110, 496), ("INHERITED", 50, 576)), got)
   }
 
+  test("/Encoding: WinAnsi decodes 0x80-0x9F; /Differences remaps; advances stay byte-indexed") {
+    val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
+    val content =
+      // \222 = 0x92 = WinAnsi U+2019 (right single quote); its byte code
+      // is outside the 32..126 /Widths table, so it advances 0
+      "17 TL 0 0 0 rg BT /F0 12 Tf 1 0 0 1 100 1000 Tm (It\\222s) Tj ET\n" +
+      // /F1 remaps byte 65 ('A') to emdash via /Differences — the TEXT
+      // changes but the advance still uses code 65's width
+      "BT /F1 12 Tf 1 0 0 1 100 980 Tm (AB) Tj ET\n"
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 918 1188 ] " +
+        "/Resources << /Font << /F0 4 0 R /F1 6 0 R >> >> /Contents 5 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier /FirstChar 32 " +
+        s"/LastChar 126 /Widths $widths /Encoding /WinAnsiEncoding >>",
+      s"<< /Length ${content.length} >>\nstream\n" + content + "\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier /FirstChar 32 " +
+        s"/LastChar 126 /Widths $widths " +
+        "/Encoding << /Differences [ 65 /emdash ] >> >>")
+    val got = texts(build(objs))
+    assert(got.map(_._1) == Vector("It’s", "—B"), got)
+    // 3 in-table glyphs for "It's" (0x92 has no width entry); 2 for "AB"
+    assert(got.map(_._4) == Vector(21, 14), got)
+  }
+
   test("a scaled/rotated form matrix is rejected, not mis-extracted") {
     val form = "BT /F0 12 Tf (X) Tj ET"
     val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
