@@ -49,7 +49,12 @@ import scala.collection.mutable.ArrayBuffer
   *   - simple-font `/Encoding` (§9.6.5): WinAnsi (= windows-1252, curly
   *     quotes/dashes in 0x80–0x9F), MacRoman, and `/Differences` arrays
   *     over a practical Adobe-Glyph-List subset — text decodes, glyph
-  *     advances stay indexed by the raw byte code.
+  *     advances stay indexed by the raw byte code;
+  *   - composite Type0/CID fonts (§9.7) with `/Identity-H` (or `-V`)
+  *     encoding: 2-byte codes are CIDs, text comes from the `/ToUnicode`
+  *     CMap (`bfchar`/`bfrange`, UTF-16BE destinations), advances from
+  *     the descendant's `/W` array with the `/DW` default — the shape
+  *     modern PDF writers emit for virtually all text.
   *
   * Fragment model (mirrors what pdftohtml emits per `<text>`):
   *   - one fragment per SHOWN run between repositioning ops — `BT`, `Td`,
@@ -863,8 +868,16 @@ object PdfLex {
     * (§9.6.5) — advances stay indexed by the raw byte code, only the
     * emitted text decodes
     */
+  /** composite (Type0/CID, §9.7) font extras: Identity-H code mapping,
+    * per-CID widths from /W with the /DW default, and the /ToUnicode
+    * CMap (bfchar/bfrange) that carries the actual text
+    */
+  final case class CidInfo(dw: Double, w: Map[Int, Double],
+      toUnicode: Map[Int, String])
+
   final case class FontInfo(family: String, style: String, firstChar: Int,
-      widths: Array[Double], decode: Array[Char]) {
+      widths: Array[Double], decode: Array[Char],
+      cid: Option[CidInfo] = None) {
     /** all standard base encodings agree with ASCII below 0x80 — only a
       * /Differences that remaps an ASCII code defeats the no-copy path
       */
@@ -971,6 +984,8 @@ object PdfLex {
       if (suffix.contains("Bold")) "b"
       else if (suffix.contains("Oblique") || suffix.contains("Italic")) "i"
       else ""
+    if (d.m.get("Subtype").contains(PName("Type0")))
+      return type0FontInfo(doc, d, family, style)
     val firstChar = doc.resolve(d.m.getOrElse("FirstChar", PNum(0))) match {
       case PNum(x) => x.toInt
       case _ => 0
@@ -1018,6 +1033,132 @@ object PdfLex {
       case other => throw new PdfError(s"bad /Encoding $other")
     }
     FontInfo(family, style, firstChar, widths, decode)
+  }
+
+  /** composite Type0 font (§9.7): Identity-H/V code mapping (2-byte
+    * codes ARE the CIDs), per-CID widths from the descendant's /W with
+    * the /DW default, text from the /ToUnicode CMap
+    */
+  private def type0FontInfo(doc: PdfDoc, d: PDict,
+      family: String, style: String): FontInfo = {
+    doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
+      case PName("Identity-H") | PName("Identity-V") => ()
+      case other => throw new PdfError(
+        s"Type0 /Encoding $other is outside the text-extraction subset (Identity-H/V only)")
+    }
+    val desc = doc.resolve(d.m.getOrElse("DescendantFonts", PNull)) match {
+      case PArr(Vector(one)) => doc.resolve(one) match {
+        case dd: PDict => dd
+        case other => throw new PdfError(s"bad descendant font $other")
+      }
+      case other => throw new PdfError(s"bad /DescendantFonts $other")
+    }
+    val dw = doc.resolve(desc.m.getOrElse("DW", PNum(1000))) match {
+      case PNum(x) => x
+      case _ => 1000.0
+    }
+    val w = parseCidWidths(doc, desc.m.get("W"))
+    val toUni = d.m.get("ToUnicode").map { tu =>
+      doc.resolve(tu) match {
+        case s: PStream => parseToUnicode(doc.streamData(s))
+        case other => throw new PdfError(s"bad /ToUnicode $other")
+      }
+    }.getOrElse(Map.empty[Int, String])
+    FontInfo(family, style, 0, Array.empty, latin1Decode,
+      Some(CidInfo(dw, w, toUni)))
+  }
+
+  /** /W array (§9.7.4.3): `c [w1 w2 ...]` lists consecutive per-CID
+    * widths from c; `cFirst cLast w` sets a range
+    */
+  private def parseCidWidths(doc: PdfDoc, v: Option[PVal]): Map[Int, Double] = {
+    val items = v.map(doc.resolve) match {
+      case Some(PArr(is)) => is.map(doc.resolve)
+      case None => return Map.empty
+      case Some(other) => throw new PdfError(s"bad /W $other")
+    }
+    val out = mutable.HashMap.empty[Int, Double]
+    var i = 0
+    while (i < items.length) {
+      val c = items(i) match {
+        case PNum(x) => x.toInt
+        case other => throw new PdfError(s"bad /W entry $other")
+      }
+      items.lift(i + 1) match {
+        case Some(PArr(ws)) =>
+          ws.zipWithIndex.foreach {
+            case (PNum(x), k) => out(c + k) = x
+            case (other, _) => throw new PdfError(s"bad /W width $other")
+          }
+          i += 2
+        case Some(PNum(cLast)) =>
+          val wv = items.lift(i + 2) match {
+            case Some(PNum(x)) => x
+            case other => throw new PdfError(s"bad /W range width $other")
+          }
+          var cc = c
+          while (cc <= cLast.toInt) { out(cc) = wv; cc += 1 }
+          i += 3
+        case other => throw new PdfError(s"bad /W shape at $other")
+      }
+    }
+    out.toMap
+  }
+
+  /** /ToUnicode CMap (§9.10.3): scan bfchar/bfrange sections; dst hex is
+    * UTF-16BE. bfrange dst may be a single incremented value or an array
+    * per code.
+    */
+  private def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val text = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = mutable.HashMap.empty[Int, String]
+    def hexVal(h: String): Int = Integer.parseInt(h, 16)
+    def hexStr(h: String): String = {
+      // UTF-16BE code units; odd-length hex is malformed — take the whole
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) { sb.append(hexVal(h.substring(i, i + 4)).toChar); i += 4 }
+      if (sb.isEmpty && h.nonEmpty) sb.append(hexVal(h).toChar)
+      sb.toString
+    }
+    val hex = "<([0-9a-fA-F]+)>"
+    val bfchar = s"(?s)beginbfchar(.*?)endbfchar".r
+    val bfrange = s"(?s)beginbfrange(.*?)endbfrange".r
+    val pair = s"$hex\\s*$hex".r
+    val rangeOne = s"$hex\\s*$hex\\s*$hex".r
+    val rangeArr = s"$hex\\s*$hex\\s*\\[([^\\]]*)\\]".r
+    bfchar.findAllMatchIn(text).foreach { m =>
+      pair.findAllMatchIn(m.group(1)).foreach { p =>
+        out(hexVal(p.group(1))) = hexStr(p.group(2))
+      }
+    }
+    bfrange.findAllMatchIn(text).foreach { m =>
+      val body = m.group(1)
+      rangeArr.findAllMatchIn(body).foreach { r =>
+        val lo = hexVal(r.group(1))
+        hex.r.findAllMatchIn(r.group(3)).zipWithIndex.foreach { case (d, k) =>
+          out(lo + k) = hexStr(d.group(1))
+        }
+      }
+      // strip array forms so the 3-hex scan doesn't misread their edges
+      val scalarBody = rangeArr.replaceAllIn(body, " ")
+      rangeOne.findAllMatchIn(scalarBody).foreach { r =>
+        val lo = hexVal(r.group(1))
+        val hi = hexVal(r.group(2))
+        val dst = hexStr(r.group(3))
+        var c = lo
+        while (c <= hi) {
+          // increment the LAST code unit (the common single-unit case)
+          val bump = c - lo
+          out(c) =
+            if (dst.isEmpty) ""
+            else dst.substring(0, dst.length - 1) +
+              (dst.charAt(dst.length - 1) + bump).toChar
+          c += 1
+        }
+      }
+    }
+    out.toMap
   }
 
   // ---- content-stream interpretation --------------------------------------
@@ -1160,8 +1301,26 @@ object PdfLex {
           fragSize = size; fragColor = fill; fragFamily = font.family
         }
         pieceStyles += font.style
-        pieceTexts += decodeText(font, s)
-        curX += advanceOf(font, size, s) // advances index by RAW byte code
+        font.cid match {
+          case Some(ci) =>
+            // Identity-H: 2-byte codes are CIDs; text via ToUnicode,
+            // advance via /W-/DW (Tw never applies to 2-byte codes,
+            // §9.3.3)
+            val sb = new StringBuilder(s.length / 2)
+            var adv = 0.0
+            var i = 0
+            while (i + 1 < s.length) {
+              val cidCode = ((s.charAt(i) & 0xff) << 8) | (s.charAt(i + 1) & 0xff)
+              sb.append(ci.toUnicode.getOrElse(cidCode, cidCode.toChar.toString))
+              adv += ci.w.getOrElse(cidCode, ci.dw) * size / 1000.0 + charSpacing
+              i += 2
+            }
+            pieceTexts += sb.toString
+            curX += adv * hscale
+          case None =>
+            pieceTexts += decodeText(font, s)
+            curX += advanceOf(font, size, s) // advances index by RAW byte code
+        }
       }
     }
     def nextLine(): Unit = { flush(); lineY -= leading; curX = lineX; curY = lineY }

@@ -124,6 +124,50 @@ class PdfContentSpec extends AnyFunSuite {
     assert(got.map(_._4) == Vector(21, 14), got)
   }
 
+  test("Type0/Identity-H: ToUnicode text, /W + /DW advances, style from BaseFont") {
+    val toUni =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |2 beginbfchar
+        |<000a> <0048>
+        |<000b> <0049>
+        |endbfchar
+        |1 beginbfrange
+        |<0014> <0016> <0041>
+        |endbfrange
+        |endcmap
+        |end""".stripMargin
+    val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
+    // CIDs 10,11 -> "HI" (bfchar); 20,21,22 -> "ABC" (bfrange); 99 has no
+    // mapping -> falls back to the code's char 'c', width /DW
+    val content =
+      "17 TL 0 0 0 rg BT /F0 12 Tf 1 0 0 1 100 950 Tm " +
+      "<000a000b0014001500160063> Tj ET\n"
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 918 1188 ] " +
+        "/Resources << /Font << /F0 6 0 R >> >> /Contents 5 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier /FirstChar 32 " +
+        s"/LastChar 126 /Widths $widths >>",
+      s"<< /Length ${content.length} >>\nstream\n" + content + "\nendstream",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /NotoSans-Bold " +
+        "/Encoding /Identity-H /DescendantFonts [ 7 0 R ] /ToUnicode 8 0 R >>",
+      "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSans-Bold " +
+        "/DW 500 /W [ 10 [ 600 700 ] 20 22 583.333333 ] >>",
+      s"<< /Length ${toUni.length} >>\nstream\n" + toUni + "\nendstream")
+    val pages = PdfLex.toNodes(build(objs))
+    val t = pages.head.children.filter(_.tag == "TEXT").head
+    assert(t.value == "HIABCc", t.value)
+    // (600+700)/1000*12 + 3 x 7 + 500/1000*12 = 7.2+8.4+21+6 = 42.6 -> 43
+    assert(t.attr("WIDTH") == "43", t.attr("WIDTH"))
+    // -Bold suffix -> a b-span over the whole run; fontspec family NotoSans
+    assert(t.textAttributes.get("b").exists(_ == Vector(graft.model.Span(0, 5))),
+      t.textAttributes)
+    val spec = pages.head.children.filter(_.tag == "FONTSPEC").head
+    assert(spec.attr("FAMILY") == "NotoSans")
+  }
+
   test("a scaled/rotated form matrix is rejected, not mis-extracted") {
     val form = "BT /F0 12 Tf (X) Tj ET"
     val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
