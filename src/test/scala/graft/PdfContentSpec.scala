@@ -186,6 +186,50 @@ class PdfContentSpec extends AnyFunSuite {
     intercept[PdfLex.PdfError](PdfLex.toNodes(build(objs)))
   }
 
+  test("mutation fuzz over the feature-dense document: extract_turn stays total") {
+    // one document exercising Type0, /Differences, WinAnsi, a form
+    // XObject and an inline image — corrupt it 200 ways and require the
+    // extraction wrapper never escapes a throw
+    val toUni = "1 beginbfchar\n<000a> <0048>\nendbfchar"
+    val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
+    val form = "BT /F0 12 Tf 1 0 0 1 100 700 Tm (FORM) Tj ET"
+    val content =
+      "17 TL 0 0 0 rg BT /F0 12 Tf 1 0 0 1 100 1000 Tm (It\\222s) Tj ET\n" +
+      "BT /F2 12 Tf 1 0 0 1 100 950 Tm <000a> Tj ET\n" +
+      "q BI /W 2 /H 2 /BPC 8 /CS /G ID )(ab\nEI Q\n" +
+      "/Fm Do\n"
+    val objs = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 918 1188 ] " +
+        "/Resources << /Font << /F0 4 0 R /F2 6 0 R >> " +
+        "/XObject << /Fm 9 0 R >> >> /Contents 5 0 R >>",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier /FirstChar 32 " +
+        s"/LastChar 126 /Widths $widths /Encoding /WinAnsiEncoding >>",
+      s"<< /Length ${content.length} >>\nstream\n" + content + "\nendstream",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /X-Bold /Encoding /Identity-H " +
+        "/DescendantFonts [ 7 0 R ] /ToUnicode 8 0 R >>",
+      "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X-Bold /DW 500 >>",
+      s"<< /Length ${toUni.length} >>\nstream\n" + toUni + "\nendstream",
+      "<< /Type /XObject /Subtype /Form " +
+        s"/Length ${form.length} >>\nstream\n" + form + "\nendstream")
+    val pdf = new String(build(objs), java.nio.charset.StandardCharsets.ISO_8859_1)
+    // sanity: the pristine document extracts through the pdf path
+    assert(graft.spark.ExtractTurn.extract(pdf).format == "pdf")
+    val r = new java.util.SplittableRandom(0xfeedbeefL)
+    var errors = 0
+    for (_ <- 1 to 200) {
+      val b = pdf.toCharArray
+      for (_ <- 0 to r.nextInt(3)) {
+        b(r.nextInt(b.length)) = (r.nextInt(127 - 9) + 9).toChar
+      }
+      val t = graft.spark.ExtractTurn.extract(new String(b))
+      if (t.format == "error") errors += 1
+      assert(Set("pdf", "error", "unknown").contains(t.format), t.format)
+    }
+    assert(errors > 0, "no mutation broke the parse — fuzz too weak")
+  }
+
   // ---- helpers ------------------------------------------------------------
 
   private def miniPdf(content: String): Array[Byte] = {
