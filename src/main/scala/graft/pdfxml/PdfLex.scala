@@ -561,6 +561,11 @@ object PdfLex {
         case _ => throw new PdfError("ObjStm has no /First")
       }
       val decoded = streamData(s)
+      // each member pair needs at least "N R " ≈ 4 header bytes — a /N
+      // beyond that is corrupt and must not drive a giant allocation
+      // (OutOfMemoryError is fatal and escapes the extract-total wrapper)
+      if (n < 0 || n.toLong * 4 > decoded.length)
+        throw new PdfError(s"ObjStm /N $n implausible for ${decoded.length} bytes")
       val hc = new Cur(decoded, 0)
       val pairs = new Array[(Int, Int)](n)
       var i = 0
@@ -607,20 +612,26 @@ object PdfLex {
       offsetsV = scanObjects()
       objStmCache.clear()
       val extra = mutable.HashMap.empty[Int, (Int, Int)]
-      offsetsV.foreach { case (num, off) =>
+      // walk ObjStms in ascending FILE OFFSET: an incremental update
+      // appends, so a later offset is a newer definition and must win —
+      // the same later-definition-wins rule scanObjects applies to
+      // top-level objects
+      offsetsV.toVector.sortBy(_._2).foreach { case (num, off) =>
         try {
           parseObjectAt(off) match {
             case (_, st: PStream) if st.dict.m.get("Type").contains(PName("ObjStm")) =>
               val (_, members) = objStmCache.getOrElseUpdate(num, decodeObjStm(st))
               members.zipWithIndex.foreach { case ((objNum, _), idx) =>
-                if (!offsetsV.contains(objNum) && !extra.contains(objNum))
-                  extra(objNum) = (num, idx)
+                if (!offsetsV.contains(objNum)) extra(objNum) = (num, idx)
               }
             case _ => ()
           }
         } catch { case _: Exception => () } // damaged candidate: skip it
       }
-      compressedV = extra.toMap ++ compressedV // xref-derived entries win
+      // the scan IS the recovery ground truth: in the stale-rescan case
+      // the old xref's compressed entries lost their trust along with the
+      // table, so fresh scan results shadow them
+      compressedV = compressedV ++ extra
       offsetsV
     }
 
@@ -1096,6 +1107,10 @@ object PdfLex {
             case Some(PNum(x)) => x
             case other => throw new PdfError(s"bad /W range width $other")
           }
+          // Identity-H CIDs are 16-bit; a wider range is corrupt and must
+          // not inflate the map towards OOM (fatal, escapes extract())
+          if (c < 0 || cLast.toInt > 0xffff)
+            throw new PdfError(s"/W range $c..${cLast.toInt} outside 16-bit CIDs")
           var cc = c
           while (cc <= cLast.toInt) { out(cc) = wv; cc += 1 }
           i += 3
@@ -1197,7 +1212,8 @@ object PdfLex {
     * state too (ISO 32000-1 §8.4.2 / §9.3)
     */
   private final case class GState(fill: String, font: FontInfo, size: Double,
-      leading: Double, charSpacing: Double, wordSpacing: Double, hscale: Double)
+      leading: Double, charSpacing: Double, wordSpacing: Double, hscale: Double,
+      ctmX: Double, ctmY: Double)
 
   private def interpret(content: Array[Byte], res: Res,
       pageH: Double, reg: FontspecReg, depth: Int = 0): Vector[Frag] = {
@@ -1214,6 +1230,11 @@ object PdfLex {
     var charSpacing = 0.0 // Tc
     var wordSpacing = 0.0 // Tw
     var hscale = 1.0      // Tz / 100
+    // translation component of the CTM (`cm`, q/Q-saved): the dominant
+    // placement pattern `q a b c d e f cm /Fm Do Q` — non-translation
+    // matrices throw (degrade to format=error, never wrong geometry)
+    var ctmX = 0.0
+    var ctmY = 0.0
     // text object state
     var lineX = 0.0; var lineY = 0.0
     var curX = 0.0; var curY = 0.0
@@ -1261,8 +1282,8 @@ object PdfLex {
         val h = if (leading > 0) math.round(leading).toInt
                 else math.ceil(fragSize * 1.4).toInt
         frags += Frag(
-          top = math.round(pageH - fragStartY - fragSize).toInt,
-          left = math.round(fragStartX).toInt,
+          top = math.round(pageH - (fragStartY + ctmY) - fragSize).toInt,
+          left = math.round(fragStartX + ctmX).toInt,
           width = math.round(curX - fragStartX).toInt,
           height = h,
           fontId = reg.id(math.round(fragSize).toInt, fragFamily, fragColor),
@@ -1360,14 +1381,23 @@ object PdfLex {
         else op match {
           case "q" =>
             gsStack += GState(fill, font, size, leading,
-              charSpacing, wordSpacing, hscale)
+              charSpacing, wordSpacing, hscale, ctmX, ctmY)
           case "Q" => if (gsStack.nonEmpty) {
             val g = gsStack.last
             gsStack.dropRightInPlace(1)
             fill = g.fill; font = g.font; size = g.size; leading = g.leading
             charSpacing = g.charSpacing; wordSpacing = g.wordSpacing
-            hscale = g.hscale
+            hscale = g.hscale; ctmX = g.ctmX; ctmY = g.ctmY
           }
+          case "cm" if stack.length >= 6 =>
+            val a = num(stack(stack.length - 6)); val b = num(stack(stack.length - 5))
+            val cc = num(stack(stack.length - 4)); val d = num(stack(stack.length - 3))
+            if (a != 1.0 || b != 0.0 || cc != 0.0 || d != 1.0)
+              throw new PdfError(
+                "non-translation cm matrix is outside the text-extraction subset")
+            flush()
+            ctmX += num(stack(stack.length - 2))
+            ctmY += num(stack.last)
           case "rg" if stack.length >= 3 =>
             fill = hexColor(num(stack(stack.length - 3)),
               num(stack(stack.length - 2)), num(stack.last))
@@ -1437,12 +1467,14 @@ object PdfLex {
                 case Some((data, childRes, dx, dy)) =>
                   // form XObject: run its content through the same
                   // interpreter, then translate the fragments by the
-                  // form's matrix offset (top = pageH - y - size, so a
-                  // +ty translation moves top UP by ty)
+                  // form's matrix offset COMPOSED with the current CTM
+                  // translation (top = pageH - y - size, so a +ty
+                  // translation moves top UP by ty)
                   flush()
                   frags ++= interpret(data, childRes, pageH, reg, depth + 1)
-                    .map(f => f.copy(top = f.top - math.round(dy).toInt,
-                      left = f.left + math.round(dx).toInt))
+                    .map(f => f.copy(
+                      top = f.top - math.round(dy + ctmY).toInt,
+                      left = f.left + math.round(dx + ctmX).toInt))
                 case None => () // image XObject (or unknown): no text
               }
               case other => throw new PdfError(s"Do operand $other")
@@ -1510,7 +1542,10 @@ object PdfLex {
             case PDict(m) => m
             case other => throw new PdfError(s"bad /XObject $other")
           }
-        Res(fonts, name => xobjs.get(name).flatMap { v =>
+        // memoized per name: a page stamping the same form per line must
+        // not re-inflate + re-parse fonts/CMaps once per Do
+        val formCache = mutable.HashMap.empty[String, Option[(Array[Byte], Res, Double, Double)]]
+        Res(fonts, name => formCache.getOrElseUpdate(name, xobjs.get(name).flatMap { v =>
           doc.resolve(v) match {
             case s: PStream if s.dict.m.get("Subtype").contains(PName("Form")) =>
               val data = doc.streamData(s)
@@ -1532,7 +1567,7 @@ object PdfLex {
             case _: PStream => None // image XObject: no text
             case other => throw new PdfError(s"XObject /$name is $other")
           }
-        })
+        }))
       }
       val pageRes: Map[String, PVal] =
         doc.resolve(page.m.getOrElse("Resources", PDict(Map.empty))) match {

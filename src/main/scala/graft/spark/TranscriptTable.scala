@@ -94,6 +94,16 @@ object TranscriptTable {
     out.sortBy(_.path)
   }
 
+  /** UTF-8 binary comparison — the ordering parquet stats, Spark string
+    * comparisons and the layout's sort all use. JVM String.compareTo
+    * orders by UTF-16 code UNIT, which disagrees beyond the BMP
+    * (surrogates sort below U+E000), so pruning decisions must never use
+    * it: a wrongly-skipped file is silent data loss.
+    */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** Fill a manifest entry's stats from its parquet footer: min/max
     * conv_id over the row groups' column-chunk statistics plus the row
     * count. Metadata-only — no data pages are read. Parquet may truncate
@@ -101,8 +111,8 @@ object TranscriptTable {
     * bound, which is exactly what range pruning needs. Files whose footer
     * has no usable conv_id stats stay unpruned.
     */
-  private def footerStats(root: String, f: DataFile): DataFile = try {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  private def footerStats(root: String, f: DataFile,
+      conf: org.apache.hadoop.conf.Configuration): DataFile = try {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(s"$root/${f.path}"), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -121,8 +131,8 @@ object TranscriptTable {
                 .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
               val bmax = st.genericGetMax
                 .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-              if (mn == null || bmin < mn) mn = bmin
-              if (mx == null || bmax > mx) mx = bmax
+              if (mn == null || utf8Cmp(bmin, mn) < 0) mn = bmin
+              if (mx == null || utf8Cmp(bmax, mx) > 0) mx = bmax
             } else statsOk = false // one statless row group poisons the file's bound
           case None => statsOk = false
         }
@@ -136,8 +146,11 @@ object TranscriptTable {
     * pool so a many-file commit doesn't serialize thousands of ~1 ms
     * opens on the driver
     */
-  private def withStats(root: String, files: Vector[DataFile]): Vector[DataFile] =
-    if (files.length <= 4) files.map(f => footerStats(root, f))
+  private def withStats(root: String, files: Vector[DataFile]): Vector[DataFile] = {
+    // one shared (read-only) Configuration: constructing it per file
+    // re-parses the Hadoop default XMLs a thousand times on a big commit
+    val conf = new org.apache.hadoop.conf.Configuration()
+    if (files.length <= 4) files.map(f => footerStats(root, f, conf))
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, files.length))
@@ -146,9 +159,11 @@ object TranscriptTable {
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         Await.result(
-          Future.traverse(files)(f => Future(footerStats(root, f))), Duration.Inf)
+          Future.traverse(files)(f => Future(footerStats(root, f, conf))),
+          Duration.Inf)
       } finally pool.shutdown()
     }
+  }
 
   private def writeSnapshot(root: String, snapshotId: Long, nBuckets: Int,
       schemaJson: String, manifest: Vector[DataFile]): Unit = {
@@ -370,7 +385,7 @@ object TranscriptTable {
       lo: String, hi: String): (Vector[DataFile], Int) = {
     val files = readManifest(root, snapshotId)
     val selected = files.filter(f => (f.minConvId, f.maxConvId) match {
-      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case (Some(mn), Some(mx)) => utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
       case _ => true
     })
     (selected, files.length)
@@ -384,11 +399,11 @@ object TranscriptTable {
     val meta = snapshotMeta(root, snapshotId)
     val nBuckets = meta("partition_spec")("n_buckets").asInt
     val wanted = convIds.map(id => bucketOf(id, nBuckets)).toSet
-    val sorted = convIds.sorted
     val files = readManifest(root, snapshotId)
     val selected = files.filter { f =>
       wanted.contains(f.bucket) && ((f.minConvId, f.maxConvId) match {
-        case (Some(mn), Some(mx)) => sorted.exists(id => id >= mn && id <= mx)
+        case (Some(mn), Some(mx)) =>
+          convIds.exists(id => utf8Cmp(id, mn) >= 0 && utf8Cmp(id, mx) <= 0)
         case _ => true
       })
     }

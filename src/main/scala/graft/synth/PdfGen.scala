@@ -152,10 +152,14 @@ object PdfGen {
         sb.append(num).append(" 0 obj\n").append(body).append("\nendobj\n")
     }
 
-    // xref stream: W [1 3 2] rows; type 2 entries point into the ObjStm
+    // xref stream: W [1 4 2] rows (4-byte offsets — a 3-byte field caps
+    // the file at 16 MiB and would WRAP silently past it); type 2
+    // entries point into the ObjStm
     val xrefOff = sb.length
     offsets(xrefNum) = xrefOff
     val memberIdx = members.map(_._1).zipWithIndex.toMap
+    require(members.length <= 0xffff,
+      s"ObjStm member index field is 2 bytes; ${members.length} members overflow it")
     val rows: Array[Array[Int]] = (0 until size).map { n =>
       if (n == 0) Array(0, 0, 65535)
       else if (memberIdx.contains(n)) Array(2, objStmNum, memberIdx(n))
@@ -163,9 +167,9 @@ object PdfGen {
     }.toArray
     val xrefEnc = ahxEncode(deflate(pngPredictEncode(rows)))
     val xrefDict =
-      s"<< /Type /XRef /Size $size /Root 1 0 R /W [ 1 3 2 ] /Index [ 0 $size ] " +
+      s"<< /Type /XRef /Size $size /Root 1 0 R /W [ 1 4 2 ] /Index [ 0 $size ] " +
         "/Filter [ /ASCIIHexDecode /FlateDecode ] " +
-        "/DecodeParms [ null << /Predictor 12 /Columns 6 >> ] " +
+        "/DecodeParms [ null << /Predictor 12 /Columns 7 >> ] " +
         s"/Length ${xrefEnc.length} >>"
     sb.append(xrefNum).append(" 0 obj\n").append(xrefDict)
       .append("\nstream\n").append(xrefEnc).append("\nendstream\nendobj\n")
@@ -181,12 +185,12 @@ object PdfGen {
     * RECONSTRUCTED bytes, which equal the raw row bytes)
     */
   private def pngPredictEncode(rows: Array[Array[Int]]): Array[Byte] = {
-    val rowLen = 6 // 1 (type) + 3 (field 2) + 2 (field 3)
+    val rowLen = 7 // 1 (type) + 4 (field 2) + 2 (field 3) — W [1 4 2]
     val raw = Array.ofDim[Int](rows.length, rowLen)
     rows.indices.foreach { r =>
       val Array(t, f2, f3) = rows(r)
-      raw(r) = Array(t & 0xff, (f2 >> 16) & 0xff, (f2 >> 8) & 0xff, f2 & 0xff,
-        (f3 >> 8) & 0xff, f3 & 0xff)
+      raw(r) = Array(t & 0xff, (f2 >>> 24) & 0xff, (f2 >> 16) & 0xff,
+        (f2 >> 8) & 0xff, f2 & 0xff, (f3 >> 8) & 0xff, f3 & 0xff)
     }
     val out = new Array[Byte](rows.length * (rowLen + 1))
     rows.indices.foreach { r =>

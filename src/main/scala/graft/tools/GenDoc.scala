@@ -22,11 +22,13 @@ object GenDoc {
     val modern = args.length > 3 && args(3) == "modern"
     val doc = ScreenplayGen.render(ScreenplayGen.elements(seed, scenes),
       ScreenplayGen.Options(headerText = "SYNTHETIC SCRIPT"))
-    val out =
-      if (!args(0).endsWith(".pdf")) doc.xml
-      else if (modern) PdfGen.fromXmlModern(doc.xml)
-      else PdfGen.fromXml(doc.xml)
-    Files.write(Paths.get(args(0)), out.getBytes("ISO-8859-1"))
+    // XML stays UTF-8 (its declaration says so); PDFs map chars to bytes
+    // 1:1 via latin-1, matching PdfLex's byte model
+    val (out, cs) =
+      if (!args(0).endsWith(".pdf")) (doc.xml, "UTF-8")
+      else if (modern) (PdfGen.fromXmlModern(doc.xml), "ISO-8859-1")
+      else (PdfGen.fromXml(doc.xml), "ISO-8859-1")
+    Files.write(Paths.get(args(0)), out.getBytes(cs))
     System.err.println(s"${out.length} bytes, ${doc.expected.size} expected lines")
   }
 }

@@ -71,7 +71,9 @@ class PdfContentSpec extends AnyFunSuite {
     val widths = Seq.fill(95)("583.333333").mkString("[ ", " ", " ]")
     val pageContent =
       "17 TL /F0 12 Tf 0 0 0 rg BT 1 0 0 1 100 1000 Tm (ON PAGE) Tj ET\n" +
-      "/Fm1 Do /Fm2 Do /Im1 Do\n"
+      "/Fm1 Do /Fm2 Do /Im1 Do\n" +
+      // the dominant real placement pattern: translate-cm + Do under q/Q
+      "q 1 0 0 1 5 -10 cm /Fm2 Do Q\n"
     val objs = Vector(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
@@ -93,9 +95,25 @@ class PdfContentSpec extends AnyFunSuite {
         "/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 4 >>\nstream\nÞ­¾ï\nendstream")
     val got = texts(build(objs))
     // ON PAGE at top 1188-1000-12=176; IN FORM at (100+10, 476+20=496);
-    // INHERITED untranslated at 50, 1188-600-12=576
+    // INHERITED untranslated at 50, 1188-600-12=576; the cm-placed
+    // second stamp shifts by (+5, -10) -> (55, 586)
     assert(got.map(t => (t._1, t._2, t._3)) == Vector(
-      ("ON PAGE", 100, 176), ("IN FORM", 110, 496), ("INHERITED", 50, 576)), got)
+      ("ON PAGE", 100, 176), ("IN FORM", 110, 496), ("INHERITED", 50, 576),
+      ("INHERITED", 55, 586)), got)
+  }
+
+  test("cm translation offsets direct text; non-translation cm is rejected") {
+    val content =
+      "17 TL /F0 12 Tf 0 0 0 rg\n" +
+      "BT 1 0 0 1 100 1000 Tm (BASE) Tj ET\n" +
+      "q 1 0 0 1 20 -30 cm BT 1 0 0 1 100 1000 Tm (MOVED) Tj ET Q\n" +
+      "BT 1 0 0 1 100 900 Tm (AFTER) Tj ET\n"
+    val got = texts(miniPdf(content))
+    assert(got.map(t => (t._1, t._2, t._3)) == Vector(
+      ("BASE", 100, 176), ("MOVED", 120, 206), ("AFTER", 100, 276)), got)
+    val scaled = miniPdf(
+      "BT /F0 12 Tf (X) Tj ET\n2 0 0 2 0 0 cm\nBT (Y) Tj ET\n")
+    intercept[PdfLex.PdfError](PdfLex.toNodes(scaled))
   }
 
   test("/Encoding: WinAnsi decodes 0x80-0x9F; /Differences remaps; advances stay byte-indexed") {

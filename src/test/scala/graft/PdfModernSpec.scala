@@ -99,7 +99,11 @@ class PdfModernSpec extends AnyFunSuite {
       918, 1188)
     val newContent =
       "17 TL /F0 12 Tf 0 0 0 rg BT 1 0 0 1 108 1140 Tm (UPDATED TEXT) Tj ET"
-    val origXref = base.lastIndexOf("xref")
+    // anchor the classic TABLE itself — lastIndexOf("xref") would match
+    // inside "startxref" and the chain test would silently pass through
+    // the full-scan fallback instead of the /Prev path
+    val origXref = base.indexOf("xref\n0 ")
+    assert(origXref > 0, "classic table anchor not found")
     val sb = new StringBuilder(base)
     val newObjOff = sb.length
     sb.append("5 0 obj\n<< /Length ").append(newContent.length)

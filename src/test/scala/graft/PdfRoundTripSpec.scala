@@ -161,7 +161,11 @@ class PdfRoundTripSpec extends AnyFunSuite {
       918, 1188)
     val newContent =
       "17 TL /F0 12 Tf 0 0 0 rg BT 1 0 0 1 108 1140 Tm (UPDATED TEXT) Tj ET"
-    val origXref = base.lastIndexOf("xref")
+    // anchor the classic TABLE itself — lastIndexOf("xref") would match
+    // inside "startxref", sending /Prev at garbage and silently passing
+    // via the full-scan fallback instead of the chain path
+    val origXref = base.indexOf("xref\n0 ")
+    assert(origXref > 0, "classic table anchor not found")
     val sb = new StringBuilder(base)
     val newObjOff = sb.length
     // object 5 is the content stream in miniPdfString's layout
