@@ -29,12 +29,21 @@ sbt -batch package >/dev/null
 # ~85 MB in 512 files; at the 128 MB default the job collapses to ~17
 # tasks = 2.1 waves on the 4x2 cluster, and the partial last wave idles
 # up to half the cores. 2 MB splits -> ~110 tasks -> tail amortized.
+# Executor JVMs pin GC and JIT threads to their CORE COUNT. On
+# local-cluster every executor JVM sees the whole box's 32 vCPUs and
+# sizes ParallelGC to ~23 threads: the 4N side then runs 4 x 23 GC
+# threads against 32 cores (measured -8% on 4x4), while the 1-executor
+# side borrows 28 idle cores for its GC pauses (+3%) — something no
+# real cluster container can do. Pinning both sides is the
+# container-faithful configuration (YARN/K8s executors GC within their
+# own cpu quota); A/B evidence in BASELINE.md.
+EXEC_OPTS="-XX:+UseParallelGC -XX:ParallelGCThreads=$CORES -XX:CICompilerCount=$CORES"
 COMMON=(--conf spark.ui.enabled=false
         --conf spark.sql.session.timeZone=UTC
         --conf spark.sql.adaptive.enabled=true
         --conf spark.sql.files.maxPartitionBytes=2m
         --conf spark.sql.files.openCostInBytes=262144
-        --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC
+        --conf "spark.executor.extraJavaOptions=$EXEC_OPTS"
         --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC
         --driver-memory 8g)
 
@@ -118,7 +127,11 @@ therefore run in the regime where the hardware itself can express
 Per-size settings: spark.sql.shuffle.partitions = total cores;
 CPU-balanced scan splits (maxPartitionBytes=2m — see BASELINE.md);
 AQE enabled (runtime coalescing + skew-join splitting); ParallelGC on
-executors (the extraction kernel is allocation-heavy); input bucketed
+executors (the extraction kernel is allocation-heavy) with GC/JIT
+thread pools PINNED to each executor's core count — the
+container-faithful configuration (see BASELINE.md's GC-pinning
+section; unpinned local-cluster JVMs size their pools to the whole
+box, biasing BOTH sides of the ratio); input bucketed
 by pmod(xxhash64(conv_id), 128) with 4 salted files per bucket so
 long-conversation skew amortizes across read tasks. Extraction itself
 is map-only — no shuffle — so scaling is bounded by task scheduling,

@@ -670,6 +670,8 @@ object PdfLex {
         val parm = if (i < parms.length) parms(i) else PNull
         data = filters(i) match {
           case "FlateDecode" | "Fl" => unpredict(inflate(data), parm)
+          case "LZWDecode" | "LZW" => unpredict(lzwDecode(data, parm), parm)
+          case "RunLengthDecode" | "RL" => rlDecode(data)
           case "ASCIIHexDecode" | "AHx" => ahxDecode(data)
           case "ASCII85Decode" | "A85" => a85Decode(data)
           case other => throw new PdfError(s"unsupported filter /$other")
@@ -807,6 +809,89 @@ object PdfLex {
       }
       if (n == 1) throw new PdfError("truncated ASCII85 group")
       if (n > 1) emit(n)
+      out.toByteArray
+    }
+
+    /** /LZWDecode (§7.4.4): the TIFF LZW variant — variable-width codes
+      * starting at 9 bits, code 256 clears the table, 257 is EOD, new
+      * entries from 258; the width grows to 10/11/12 bits `EarlyChange`
+      * codes (default 1) before the table index would overflow the
+      * current width. A full table without a clear-code keeps emitting
+      * 12-bit codes without adding entries (what real writers produce).
+      * Shares the /DecodeParms predictor post-pass with Flate (§7.4.4.4).
+      */
+    private def lzwDecode(data: Array[Byte], parm: PVal): Array[Byte] = {
+      val earlyChange = resolve(parm) match {
+        case PDict(m) => resolve(m.getOrElse("EarlyChange", PNull)) match {
+          case PNum(x) => x.toInt
+          case _ => 1
+        }
+        case _ => 1
+      }
+      if (earlyChange != 0 && earlyChange != 1)
+        throw new PdfError(s"bad /EarlyChange $earlyChange")
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val maxEntries = 4096
+      val entries = new Array[Array[Byte]](maxEntries)
+      var dictSize = 258
+      var codeWidth = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var i = 0
+      var done = false
+      while (!done) {
+        while (bitCnt < codeWidth && i < data.length) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xffL); bitCnt += 8; i += 1
+        }
+        if (bitCnt < codeWidth) done = true // data exhausted without EOD: stop
+        else {
+          val code = ((bitBuf >>> (bitCnt - codeWidth)) & ((1L << codeWidth) - 1)).toInt
+          bitCnt -= codeWidth
+          bitBuf &= (1L << bitCnt) - 1
+          if (code == 256) { dictSize = 258; codeWidth = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < 256) Array(code.toByte)
+              else if (code >= 258 && code < dictSize) entries(code)
+              else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
+              else throw new PdfError(s"LZW: code $code before its entry exists")
+            out.write(entry, 0, entry.length)
+            if (prev != null && dictSize < maxEntries) {
+              entries(dictSize) = prev :+ entry(0)
+              dictSize += 1
+            }
+            prev = entry
+            if (codeWidth < 12 && dictSize + earlyChange >= (1 << codeWidth))
+              codeWidth += 1
+          }
+        }
+      }
+      out.toByteArray
+    }
+
+    /** /RunLengthDecode (§7.4.5): length byte 0–127 copies the next
+      * length+1 bytes literally; 129–255 repeats the next byte 257−length
+      * times; 128 is EOD.
+      */
+    private def rlDecode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length * 2)
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val len = data(i) & 0xff; i += 1
+        if (len == 128) done = true
+        else if (len < 128) {
+          if (i + len + 1 > data.length) throw new PdfError("RunLength: truncated literal run")
+          out.write(data, i, len + 1); i += len + 1
+        } else {
+          if (i >= data.length) throw new PdfError("RunLength: truncated repeat run")
+          val b = data(i).toInt; i += 1
+          var k = 257 - len
+          while (k > 0) { out.write(b); k -= 1 }
+        }
+      }
       out.toByteArray
     }
 

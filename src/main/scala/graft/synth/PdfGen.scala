@@ -57,9 +57,20 @@ object PdfGen {
   def fromNodes(tops: Vector[XmlTok.XNode]): String =
     serializeClassic(buildObjects(tops))
 
+  /** same document, classic serialization, but every content stream
+    * filtered: pages alternate `[ /ASCII85Decode /LZWDecode ]` and
+    * `[ /ASCIIHexDecode /RunLengthDecode ]` (the ASCII layer keeps the
+    * file string-column-safe; the inner filter is what real pre-Flate
+    * writers emitted). Differential tests require extraction identical
+    * to the unfiltered classic form.
+    */
+  def fromXmlFiltered(xml: String): String =
+    serializeClassic(buildObjects(XmlTok.parse(xml), contentFilters = true))
+
   /** (objects as (num, body), numbers of the stream objects) */
   private def buildObjects(
-      tops: Vector[XmlTok.XNode]): (Vector[(Int, String)], Set[Int]) = {
+      tops: Vector[XmlTok.XNode],
+      contentFilters: Boolean = false): (Vector[(Int, String)], Set[Int]) = {
     val pages: Vector[XmlTok.XNode] = tops.flatMap { top =>
       if (top.tag == "PDF2XML") top.children.toVector.filter(_.tag == "PAGE")
       else if (top.tag == "PAGE") Vector(top)
@@ -92,8 +103,19 @@ object PdfGen {
         (s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 $pw $ph ] " +
           "/Resources << /Font << /F0 3 0 R /FB 4 0 R /FI 5 0 R >> >> " +
           s"/Contents ${8 + 2 * i} 0 R >>")
-      objs += (8 + 2 * i) ->
-        (s"<< /Length ${content.length} >>\nstream\n" + content + "\nendstream")
+      objs += (8 + 2 * i) -> {
+        if (!contentFilters)
+          s"<< /Length ${content.length} >>\nstream\n" + content + "\nendstream"
+        else if (i % 2 == 0) {
+          val enc = a85Encode(lzwEncode(content.getBytes(Latin1)))
+          s"<< /Length ${enc.length} /Filter [ /ASCII85Decode /LZWDecode ] >>" +
+            "\nstream\n" + enc + "\nendstream"
+        } else {
+          val enc = ahxEncode(rlEncode(content.getBytes(Latin1)))
+          s"<< /Length ${enc.length} /Filter [ /ASCIIHexDecode /RunLengthDecode ] >>" +
+            "\nstream\n" + enc + "\nendstream"
+        }
+      }
     }
     (objs.toVector, (0 until nPages).map(i => 8 + 2 * i).toSet)
   }
@@ -217,6 +239,84 @@ object PdfGen {
       }
     }
     out
+  }
+
+  /** TIFF-variant LZW encoder (§7.4.4, EarlyChange = 1): clear code up
+    * front, EOD at the end, 9→12-bit codes. The width schedule mirrors
+    * the decoder exactly — the decoder adds its table entry one code
+    * BEHIND the encoder, so the encoder bumps the width when its own
+    * table reaches 2^w (one code "early"), and applies one extra
+    * virtual check before EOD (no entry is added for the final flush,
+    * but the decoder still runs its post-code check).
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8; bitBuf &= (1L << bitCnt) - 1
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var dictSize = 258
+    put(256) // clear
+    if (data.nonEmpty) {
+      var prefix = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val b = data(i) & 0xff
+        val key = Integer.valueOf((prefix << 8) | b)
+        val ext = dict.get(key)
+        if (ext != null) prefix = ext.intValue
+        else {
+          put(prefix)
+          if (dictSize < 4096) { dict.put(key, Integer.valueOf(dictSize)); dictSize += 1 }
+          if (width < 12 && dictSize >= (1 << width)) width += 1
+          prefix = b
+        }
+        i += 1
+      }
+      put(prefix)
+      // decoder adds an entry for this final code too, then checks
+      if (width < 12 && dictSize + 1 >= (1 << width)) width += 1
+    }
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** /RunLengthDecode's inverse (§7.4.5): runs of ≥3 identical bytes as
+    * repeat records (len 129–255), everything else as ≤128-byte literal
+    * records, EOD byte 128 at the end.
+    */
+  private def rlEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i).toInt)
+        i += run
+      } else {
+        var lit = i + run
+        var tailRun = 1
+        while (lit < data.length && lit - i < 128 && tailRun < 3) {
+          if (lit > i && data(lit) == data(lit - 1)) tailRun += 1 else tailRun = 1
+          lit += 1
+        }
+        if (tailRun == 3) lit -= 3 // leave the run for a repeat record
+        out.write(lit - i - 1)
+        out.write(data, i, lit - i)
+        i = lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
   }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {

@@ -6,10 +6,12 @@ import java.nio.file.{Files, Paths}
 
 /** CLI: write a deterministic synthetic screenplay document. An `.xml`
   * path gets the pdftohtml-XML form; a `.pdf` path gets the SAME document
-  * rendered as a real PDF ([[PdfGen]]) — classic xref by default, or the
-  * PDF 1.5 ObjStm + xref-stream serialization with `modern`.
+  * rendered as a real PDF ([[PdfGen]]) — classic xref by default, the
+  * PDF 1.5 ObjStm + xref-stream serialization with `modern`, or the
+  * classic form with filtered content streams (pages alternate
+  * A85+LZW / AHx+RunLength) with `filtered`.
   *
-  * Usage: runMain graft.tools.GenDoc <out.xml|out.pdf> [seed] [scenes] [modern]
+  * Usage: runMain graft.tools.GenDoc <out.xml|out.pdf> [seed] [scenes] [modern|filtered]
   */
 object GenDoc {
   def main(args: Array[String]): Unit = {
@@ -27,6 +29,8 @@ object GenDoc {
     val (out, cs) =
       if (!args(0).endsWith(".pdf")) (doc.xml, "UTF-8")
       else if (modern) (PdfGen.fromXmlModern(doc.xml), "ISO-8859-1")
+      else if (args.length > 3 && args(3) == "filtered")
+        (PdfGen.fromXmlFiltered(doc.xml), "ISO-8859-1")
       else (PdfGen.fromXml(doc.xml), "ISO-8859-1")
     Files.write(Paths.get(args(0)), out.getBytes(cs))
     System.err.println(s"${out.length} bytes, ${doc.expected.size} expected lines")
