@@ -75,6 +75,19 @@ import scala.collection.mutable.ArrayBuffer
   */
 object PdfLex {
 
+  /** Decompression-bomb guards: a corrupt or hostile stream must throw
+    * [[PdfError]] (degrading the TURN to format=error) before it can
+    * allocate executor-killing amounts — at 100 TB the corpus WILL
+    * contain such streams. A text-page content stream is KBs; 64 MiB
+    * decoded is orders of magnitude past any legitimate one, while a
+    * 1 KB Flate/LZW bomb can otherwise expand ~1000x per stage and a
+    * long /Filter array multiplies stages. Each chain stage is capped
+    * independently, so a chain can never hold more than
+    * `MaxFilterChain * MaxDecodedStreamBytes` transiently.
+    */
+  private val MaxDecodedStreamBytes: Int = 64 << 20
+  private val MaxFilterChain: Int = 8
+
   // ---- COS values ---------------------------------------------------------
 
   sealed trait PVal
@@ -664,6 +677,8 @@ object PdfLex {
         case PNull => Vector.empty
         case other => throw new PdfError(s"bad /DecodeParms $other")
       }
+      if (filters.length > MaxFilterChain)
+        throw new PdfError(s"filter chain of ${filters.length} stages (max $MaxFilterChain)")
       var data = raw
       var i = 0
       while (i < filters.length) {
@@ -857,6 +872,8 @@ object PdfLex {
               else if (code >= 258 && code < dictSize) entries(code)
               else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
               else throw new PdfError(s"LZW: code $code before its entry exists")
+            if (out.size + entry.length > MaxDecodedStreamBytes)
+              throw new PdfError(s"LZW stream decodes past $MaxDecodedStreamBytes bytes")
             out.write(entry, 0, entry.length)
             if (prev != null && dictSize < maxEntries) {
               entries(dictSize) = prev :+ entry(0)
@@ -880,6 +897,8 @@ object PdfLex {
       var i = 0
       var done = false
       while (i < data.length && !done) {
+        if (out.size > MaxDecodedStreamBytes)
+          throw new PdfError(s"RunLength stream decodes past $MaxDecodedStreamBytes bytes")
         val len = data(i) & 0xff; i += 1
         if (len == 128) done = true
         else if (len < 128) {
@@ -905,6 +924,8 @@ object PdfLex {
           val n = inf.inflate(buf)
           if (n == 0 && !inf.finished()) throw new PdfError("truncated Flate stream")
           out.write(buf, 0, n)
+          if (out.size > MaxDecodedStreamBytes)
+            throw new PdfError(s"Flate stream decodes past $MaxDecodedStreamBytes bytes")
         }
         out.toByteArray
       } finally inf.end()

@@ -222,4 +222,84 @@ class PdfFilterSpec extends AnyFunSuite {
     }
     assert(errors > 0, "no mutation ever broke the parse — fuzz too weak")
   }
+
+  // ---- decompression-bomb guards ------------------------------------------
+
+  /** replace the first content stream's bytes WHOLESALE (no re-encode of
+    * the original content) — for planting streams whose decode must be
+    * rejected before it allocates.
+    */
+  private def plantFirstStream(pdf: String, filterDecl: String,
+                               encd: Array[Byte]): Array[Byte] = {
+    val m = streamRe.findFirstMatchIn(pdf).getOrElse(fail("no stream found"))
+    val len = m.group(2).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pdf.substring(0, m.start).getBytes(Latin1))
+    out.write((s"${m.group(1)} 0 obj\n<< /Length ${encd.length} " +
+      s"$filterDecl >>\nstream\n").getBytes(Latin1))
+    out.write(encd)
+    out.write(pdf.substring(m.end + len).getBytes(Latin1))
+    out.toByteArray
+  }
+
+  private val bombSize = 68 << 20 // > the lexer's 64 MiB decoded-stream cap
+
+  private def assertBombRejected(patched: Array[Byte], what: String): Unit = {
+    val e = intercept[graft.pdfxml.PdfLex.PdfError] {
+      PdfXml.parseNodes(graft.pdfxml.PdfLex.toNodes(patched), null)
+    }
+    assert(e.getMessage.contains("decodes past"), s"$what: ${e.getMessage}")
+    // and at the engine surface the TURN degrades instead of the task dying
+    val t = ExtractTurn.extract(new String(patched.map(b => (b & 0xff).toChar)))
+    assert(t.format == "error", s"$what turn format: ${t.format}")
+  }
+
+  test("Flate bomb: 68 MB of zeros in ~70 KB is rejected, turn degrades") {
+    val zeros = new Array[Byte](1 << 20)
+    val buf = new Array[Byte](8192)
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    val enc = new java.io.ByteArrayOutputStream()
+    var fed = 0
+    while (fed < bombSize) { // streamed in 1 MB slabs
+      d.setInput(zeros)
+      while (!d.needsInput()) enc.write(buf, 0, d.deflate(buf))
+      fed += zeros.length
+    }
+    d.finish()
+    while (!d.finished()) enc.write(buf, 0, d.deflate(buf))
+    d.end()
+    val bomb = enc.toByteArray
+    assert(bomb.length < (1 << 20), s"bomb should be tiny, was ${bomb.length}")
+    val pdf = PdfGen.fromXml(ScreenplayGen.render(ScreenplayGen.elements(3, 3)).xml)
+    assertBombRejected(plantFirstStream(pdf, "/Filter /FlateDecode", bomb), "Flate")
+  }
+
+  test("LZW bomb is rejected, turn degrades") {
+    val pdf = PdfGen.fromXml(ScreenplayGen.render(ScreenplayGen.elements(3, 3)).xml)
+    val bomb = lzwEnc(new Array[Byte](bombSize))
+    assert(bomb.length < (1 << 20), s"bomb should be tiny, was ${bomb.length}")
+    assertBombRejected(plantFirstStream(pdf, "/Filter /LZWDecode", bomb), "LZW")
+  }
+
+  test("RunLength bomb is rejected, turn degrades") {
+    // max-ratio repeat records: 2 bytes -> 128 bytes each
+    val n = bombSize / 128 + 1
+    val bomb = new Array[Byte](2 * n + 1)
+    var i = 0
+    while (i < n) { bomb(2 * i) = (257 - 128).toByte; i += 1 }
+    bomb(2 * n) = 128.toByte
+    val pdf = PdfGen.fromXml(ScreenplayGen.render(ScreenplayGen.elements(3, 3)).xml)
+    assertBombRejected(plantFirstStream(pdf, "/Filter /RunLengthDecode", bomb),
+      "RunLength")
+  }
+
+  test("over-long /Filter chains are rejected before any decode") {
+    val pdf = PdfGen.fromXml(ScreenplayGen.render(ScreenplayGen.elements(3, 3)).xml)
+    val decl = "/Filter [ " + "/ASCIIHexDecode " * 9 + "]"
+    val planted = plantFirstStream(pdf, decl, Array[Byte]('>'))
+    val e = intercept[graft.pdfxml.PdfLex.PdfError] {
+      PdfXml.parseNodes(graft.pdfxml.PdfLex.toNodes(planted), null)
+    }
+    assert(e.getMessage.contains("filter chain"), e.getMessage)
+  }
 }
