@@ -951,6 +951,55 @@ object SparkEntry {
       sink.agg(count(lit(1)).cast("bigint").as("n_turns"),
         coalesce(sum(col("n_lines")), lit(0L)).cast("bigint").as("n_lines"))
     }),
+    "q43_incremental" -> ((s, dir) => {
+      // Iceberg-style incremental append scan over snapshot lineage:
+      // write batch 1 (snapshot 1), fast-APPEND batches 2 and 3
+      // (snapshots 2/3 — existing files untouched, manifest grows), then
+      // read each window's DELTA through the parent chain: (1->2) =
+      // batch 2, (2->3) = batch 3, (1->3) = batches 2+3, (3->3) = empty;
+      // the full read sees all three. This keeps a downstream sync
+      // O(delta) instead of O(table) at 10^12 turns. An OVERWRITE
+      // snapshot 4 then breaks appendability: incremental reads crossing
+      // it must refuse (no row-level delta at file granularity), pinned
+      // by requires. The oracle recomputes every window from the
+      // materialized per-batch row mapping.
+      val n = math.min(nConvsFor(dir), 150L)
+      val root = java.nio.file.Files.createTempDirectory("graft_q43").toString
+      val tt = graft.spark.TranscriptTable
+      val b1 = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      val b2 = Transcripts.synthesize(s, math.max(1L, n / 2), seed = 4301L).toDF()
+      val b3 = Transcripts.synthesize(s, math.max(1L, n / 4), seed = 4302L).toDF()
+      def tagged(df: org.apache.spark.sql.DataFrame, b: Int) =
+        df.select(col("conv_id"), col("turn_idx")).withColumn("batch", lit(b))
+      materialize(tagged(b1, 1).unionByName(tagged(b2, 2)).unionByName(tagged(b3, 3)),
+        "q43_expected")
+      tt.write(b1, root, nBuckets = 8, snapshotId = 1L)
+      tt.append(b2, root, newSnapshotId = 2L)
+      tt.append(b3, root, newSnapshotId = 3L)
+      def cnt(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), countDistinct(col("conv_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val w12 = cnt(tt.incrementalRead(s, root, 1L, 2L))
+      val w23 = cnt(tt.incrementalRead(s, root, 2L, 3L))
+      val w13 = cnt(tt.incrementalRead(s, root, 1L, 3L))
+      val w33 = cnt(tt.incrementalRead(s, root, 3L, 3L))
+      val full = cnt(tt.read(s, root))
+      // snapshot 4 overwrites bucket 0 — delta scans crossing it refuse
+      val bucket0 = b1.withColumn("b", tt.bucketCol(8)).filter(col("b") === 0).drop("b")
+      tt.overwriteBucket(bucket0.unionByName(bucket0), root, bucket = 0,
+        newSnapshotId = 4L)
+      require(scala.util.Try(tt.incrementalRead(s, root, 1L, 4L)).isFailure,
+        "incremental read across an overwrite snapshot must refuse")
+      require(scala.util.Try(tt.incrementalRead(s, root, 3L, 4L)).isFailure,
+        "incremental read ending at an overwrite snapshot must refuse")
+      require(scala.util.Try(tt.incrementalRead(s, root, 3L, 1L)).isFailure,
+        "a lineage walk that never reaches `from` must refuse")
+      import s.implicits._
+      Seq(("full", full), ("w12", w12), ("w13", w13), ("w23", w23), ("w33", w33))
+        .map { case (w, (r, c)) => (w, r, c) }
+        .toDF("win", "n_rows", "n_convs").orderBy(col("win"))
+    }),
     "q30_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup (dropDuplicatesWithinWatermark): plant exact
       // copies of 20 document turns under fresh conv ids, stream the lot,
@@ -1235,6 +1284,22 @@ object SparkEntry {
         |   CAST(SUM(g_lines) AS BIGINT) AS n_lines
         | FROM read_parquet('{MAT}/q42_expected/*.parquet')""".stripMargin
         .replace("\n", ""),
+    "q43_incremental" ->
+      // each incremental window's delta recomputed from the per-batch
+      // row mapping: w12 = batch 2, w23 = batch 3, w13 = batches 2+3,
+      // w33 = empty, full = everything
+      """WITH m AS (SELECT conv_id, batch
+        |   FROM read_parquet('{MAT}/q43_expected/*.parquet'))
+        | SELECT 'full' AS win, COUNT(*) AS n_rows,
+        |   COUNT(DISTINCT conv_id) AS n_convs FROM m
+        | UNION ALL SELECT 'w12', COUNT(*), COUNT(DISTINCT conv_id)
+        |   FROM m WHERE batch = 2
+        | UNION ALL SELECT 'w13', COUNT(*), COUNT(DISTINCT conv_id)
+        |   FROM m WHERE batch IN (2, 3)
+        | UNION ALL SELECT 'w23', COUNT(*), COUNT(DISTINCT conv_id)
+        |   FROM m WHERE batch = 3
+        | UNION ALL SELECT 'w33', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        | ORDER BY win""".stripMargin.replace("\n", ""),
     "q41_data_skipping" ->
       // mirrors the Spark side's rank-picked bounds: range = rows whose
       // conv_id lies between the 6th and 21st distinct id (1-based rank),

@@ -166,7 +166,8 @@ object TranscriptTable {
   }
 
   private def writeSnapshot(root: String, snapshotId: Long, nBuckets: Int,
-      schemaJson: String, manifest: Vector[DataFile]): Unit = {
+      schemaJson: String, manifest: Vector[DataFile],
+      operation: String = "overwrite", parent: Option[Long] = None): Unit = {
     val meta = Paths.get(root, "metadata")
     Files.createDirectories(meta)
     // defense in depth: writers call requireFreshSnapshot BEFORE the data
@@ -175,7 +176,13 @@ object TranscriptTable {
     require(!Files.exists(meta.resolve(s"snapshot-$snapshotId.json")),
       s"snapshot $snapshotId already exists at $root — snapshot ids are immutable, use a new id")
     val snap = Obj.of(
+      Vector[(String, Json.Value)](
       "snapshot_id" -> Num(snapshotId.toDouble),
+      // lineage for incremental scans: what this snapshot DID and what it
+      // grew out of (absent parent = table creation)
+      "operation" -> Str(operation)) ++
+      parent.map(p => "parent_snapshot_id" -> (Num(p.toDouble): Json.Value)).toVector ++
+      Vector[(String, Json.Value)](
       "format" -> Str("parquet"),
       "partition_spec" -> Obj.of(
         "kind" -> Str("bucket"),
@@ -196,7 +203,7 @@ object TranscriptTable {
             case _ => Vector.empty
           })
         Obj.of(base ++ stats: _*)
-      }.toVector))
+      }.toVector)): _*)
     atomicWrite(meta.resolve(s"snapshot-$snapshotId.json"), Json.write(snap))
     atomicWrite(meta.resolve("current.json"),
       Json.write(Obj.of("current_snapshot_id" -> Num(snapshotId.toDouble))))
@@ -221,8 +228,15 @@ object TranscriptTable {
     *     prefer `"salted"` for heavily skewed corpora.
     */
   def write(df: DataFrame, root: String, nBuckets: Int, snapshotId: Long,
-      filesPerBucket: Int = 4, layout: String = "salted"): Unit = {
+      filesPerBucket: Int = 4, layout: String = "salted",
+      operation: String = ""): Unit = {
     requireFreshSnapshot(root, snapshotId)
+    val parentId = currentSnapshotId(root)
+    // table creation is an append (nothing replaced); a full rewrite of an
+    // existing table replaces every row. `operation` overrides (compact
+    // stamps "replace").
+    val op = if (operation.nonEmpty) operation
+             else if (parentId.isEmpty) "append" else "overwrite"
     val withBucket = df.withColumn("bucket", bucketCol(nBuckets))
     val split = layout match {
       case "salted" => withBucket
@@ -245,7 +259,7 @@ object TranscriptTable {
       .partitionBy("bucket")
       .parquet(snapDataDir(root, snapshotId))
     writeSnapshot(root, snapshotId, nBuckets, df.schema.json,
-      withStats(root, listDataFiles(root, snapshotId)))
+      withStats(root, listDataFiles(root, snapshotId)), op, parentId)
   }
 
   /** Iceberg-style partition overwrite: replace ONE bucket's data in a NEW
@@ -307,7 +321,77 @@ object TranscriptTable {
         s"of $t input rows hash outside bucket $bucket and were dropped")
     val kept = readManifest(root, curId).filterNot(_.bucket == bucket)
     writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
-      kept ++ withStats(root, newFiles))
+      kept ++ withStats(root, newFiles), "overwrite", Some(curId))
+  }
+
+  /** Iceberg-style fast append: land NEW data files for the input rows
+    * under a new snapshot whose manifest is the current one PLUS the new
+    * files — no existing file is touched or rewritten, which keeps daily
+    * ingestion O(new data) on a 10^12-turn table. The bucket spec is
+    * inherited from the current snapshot; the new files use the salted
+    * within-bucket layout (see [[write]]). Row-level duplicates vs
+    * existing data are NOT checked (same as Iceberg) — dedup is a
+    * read-side or maintenance concern. The snapshot records
+    * operation="append" + its parent, which is what entitles it to appear
+    * inside an [[incrementalRead]] range.
+    */
+  def append(df: DataFrame, root: String, newSnapshotId: Long,
+      filesPerBucket: Int = 4): Unit = {
+    requireFreshSnapshot(root, newSnapshotId)
+    val curId = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root — append needs an existing table"))
+    val cur = snapshotMeta(root, curId)
+    val nBuckets = cur("partition_spec")("n_buckets").asInt
+    df.withColumn("bucket", bucketCol(nBuckets))
+      .repartition(nBuckets * filesPerBucket, col("bucket"),
+        pmod(xxhash64(col("conv_id"), lit(1)), lit(filesPerBucket)))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (4 * 1024 * 1024).toString) // see write()
+      .partitionBy("bucket")
+      .parquet(snapDataDir(root, newSnapshotId))
+    val newFiles = listDataFiles(root, newSnapshotId)
+    if (newFiles.isEmpty) {
+      // an empty append is a caller mistake, not a new snapshot; clean the
+      // orphan dir so the id stays usable (mirrors overwriteBucket)
+      val dir = Paths.get(snapDataDir(root, newSnapshotId))
+      if (Files.isDirectory(dir)) drained(Files.walk(dir)) {
+        _.toVector.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+      sys.error(s"append: no input rows — refusing to commit empty snapshot $newSnapshotId")
+    }
+    writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
+      readManifest(root, curId) ++ withStats(root, newFiles),
+      "append", Some(curId))
+  }
+
+  /** Iceberg-style incremental append scan: the rows ADDED after
+    * `fromSnapshotId` up to and including `toSnapshotId`, resolved by
+    * walking the parent chain from `to` back to `from` and requiring
+    * every snapshot on the path to be an append. An overwrite / replace
+    * in range has no well-defined row-level delta at file granularity,
+    * so (like Iceberg) the scan REFUSES rather than silently returning
+    * rewritten rows as "new". Reading only the added files keeps a
+    * downstream sync O(delta), not O(table).
+    */
+  def incrementalRead(spark: SparkSession, root: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    snapshotMeta(root, fromSnapshotId) // must exist
+    var id = toSnapshotId
+    while (id != fromSnapshotId) {
+      val m = snapshotMeta(root, id)
+      val op = m.get("operation").map(_.asString).getOrElse("unknown")
+      require(op == "append",
+        s"incremental read $fromSnapshotId -> $toSnapshotId crosses snapshot $id " +
+          s"with operation '$op' — only append chains have a row-level delta")
+      id = m.get("parent_snapshot_id").map(_.asLong).getOrElse(
+        sys.error(s"snapshot lineage from $toSnapshotId never reaches " +
+          s"$fromSnapshotId (chain breaks at $id)"))
+    }
+    val before = readManifest(root, fromSnapshotId).map(_.path).toSet
+    val added = readManifest(root, toSnapshotId).filterNot(f => before(f.path))
+    if (added.isEmpty) emptyLike(spark, root, toSnapshotId)
+    else readFiles(spark, root, added)
   }
 
   /** Read the table AT a snapshot: data files resolve through that
@@ -362,7 +446,7 @@ object TranscriptTable {
     // lazy read plan pulls from the old snapshot's files, so there is no
     // self-overwrite hazard
     write(readAt(spark, root, curId).drop("bucket"), root, nBuckets,
-      newSnapshotId, filesPerBucket, layout)
+      newSnapshotId, filesPerBucket, layout, operation = "replace")
   }
 
   // ---- data skipping ------------------------------------------------------

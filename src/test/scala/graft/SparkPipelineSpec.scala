@@ -229,6 +229,42 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(TranscriptTable.read(sp, root).count() == total1)
   }
 
+  test("iceberg-style table: fast append + incremental append scan") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val b1 = Transcripts.synthesize(sp, 20, seed = 13L).toDF()
+    val b2 = Transcripts.synthesize(sp, 10, seed = 14L).toDF()
+    TranscriptTable.write(b1, root, nBuckets = 4, snapshotId = 1L)
+    val files1 = TranscriptTable.readManifest(root, 1L).map(_.path).toSet
+    TranscriptTable.append(b2, root, newSnapshotId = 2L)
+    // append grows the manifest without touching snapshot 1's files
+    val files2 = TranscriptTable.readManifest(root, 2L).map(_.path).toSet
+    assert(files1.subsetOf(files2) && files2.size > files1.size)
+    assert(TranscriptTable.read(sp, root).count() == b1.count() + b2.count())
+    // the delta is exactly batch 2
+    val delta = TranscriptTable.incrementalRead(sp, root, 1L, 2L)
+    assert(delta.count() == b2.count())
+    assert(delta.select("conv_id", "turn_idx")
+      .exceptAll(b2.select("conv_id", "turn_idx")).count() == 0L)
+    // empty window, empty-input refusal, missing-snapshot refusal
+    assert(TranscriptTable.incrementalRead(sp, root, 2L, 2L).count() == 0L)
+    intercept[RuntimeException] {
+      TranscriptTable.append(b2.filter(lit(false)), root, newSnapshotId = 3L)
+    }
+    assert(TranscriptTable.currentSnapshotId(root).contains(2L),
+      "refused empty append must not commit")
+    intercept[IllegalArgumentException] {
+      TranscriptTable.incrementalRead(sp, root, 99L, 2L)
+    }
+    // a replace (compaction) in range refuses the scan but preserves reads
+    TranscriptTable.compact(sp, root, newSnapshotId = 4L, filesPerBucket = 1)
+    intercept[Exception] {
+      TranscriptTable.incrementalRead(sp, root, 1L, 4L)
+    }
+    assert(TranscriptTable.read(sp, root).count() == b1.count() + b2.count())
+  }
+
   test("overwriteBucket refuses to silently drop a bucket; stale checkpoints refuse resume") {
     val sp = spark
     import org.apache.spark.sql.functions._
