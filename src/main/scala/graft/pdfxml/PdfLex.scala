@@ -297,6 +297,15 @@ object PdfLex {
       */
     private val objStmCache = mutable.HashMap.empty[Int, (Array[Byte], Array[(Int, Int)])]
     private var rescanned = false
+    /** trailer (or xref-stream dict) carries /Encrypt: strings and streams
+      * are RC4/AES-enciphered (§7.6). Decryption is out of scope, and
+      * silently "decoding" ciphertext would emit garbage text — the one
+      * failure mode worse than an error at corpus scale. Flagged here
+      * (never thrown mid-xref-walk, which would trigger the damaged-file
+      * rescan and STILL extract garbage); [[toNodes]] checks it first.
+      */
+    private var encryptedV = false
+    def encrypted: Boolean = encryptedV
 
     /** objNum -> file offset of the object header. Starts from the xref
       * index (classic tables and/or xref streams); if an offset turns out
@@ -345,6 +354,7 @@ object PdfLex {
           case other => throw new PdfError(s"xref stream at $off is $other")
         }
         val d = s.dict.m
+        if (d.contains("Encrypt")) encryptedV = true
         if (!d.get("Type").contains(PName("XRef")))
           throw new PdfError("xref stream lacks /Type /XRef")
         if (rootFromTrailer < 0) d.get("Root") match {
@@ -429,6 +439,7 @@ object PdfLex {
               if (c.keyword() != "trailer") return None
               c.skipWs()
               val tr = parseDict(c)
+              if (tr.m.contains("Encrypt")) encryptedV = true
               if (rootFromTrailer < 0) tr.m.get("Root") match {
                 case Some(PRef(n)) => rootFromTrailer = n
                 case _ => return None
@@ -1629,6 +1640,9 @@ object PdfLex {
 
   def toNodes(bytes: Array[Byte]): Vector[XmlTok.XNode] = {
     val doc = new PdfDoc(bytes)
+    if (doc.encrypted)
+      throw new PdfError("encrypted PDF (/Encrypt) — decryption unsupported, " +
+        "refusing to emit ciphertext as text")
     doc.pages().zipWithIndex.map { case (page, pi) =>
       val (pw, ph) = doc.resolve(page.m.getOrElse("MediaBox", PNull)) match {
         case PArr(Vector(x0, y0, x1, y1)) =>

@@ -254,6 +254,23 @@ class PdfRoundTripSpec extends AnyFunSuite {
     assert(ExtractTurn.extract("not a pdf at all").format == "unknown")
   }
 
+  test("/Encrypt in the trailer refuses loudly instead of emitting ciphertext") {
+    val pdf = PdfGen.fromXml(ScreenplayGen.render(ScreenplayGen.elements(7, 3)).xml)
+    val enc = pdf.replace("trailer\n<< /Size", "trailer\n<< /Encrypt 99 0 R /Size")
+    assert(enc != pdf, "trailer patch did not apply")
+    val e = intercept[PdfLex.PdfError] {
+      PdfLex.toNodes(enc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    assert(e.getMessage.contains("encrypted"), e.getMessage)
+    assert(ExtractTurn.extract(enc).format == "error")
+    // the modern serialization carries /Encrypt in the xref-stream dict
+    val modern = PdfGen.fromXmlModern(
+      ScreenplayGen.render(ScreenplayGen.elements(7, 3)).xml)
+    val encM = modern.replace("/Type /XRef", "/Type /XRef /Encrypt 99 0 R")
+    assert(encM != modern, "xref-stream patch did not apply")
+    assert(ExtractTurn.extract(encM).format == "error")
+  }
+
   private def miniPdf(content: String, w: Int, h: Int): Array[Byte] =
     miniPdfString(content, w, h)
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
