@@ -680,9 +680,9 @@ object TranscriptTable {
       reextractStale: Boolean = false): Counters = {
     val snapshotId = currentSnapshotId(tableRoot).getOrElse(
       sys.error(s"no current snapshot at $tableRoot (missing metadata/current.json)"))
-    // buckets resolve through the current snapshot's manifest (a bucket's
-    // files always come from one snapshot dir: full writes land them
-    // together and overwriteBucket replaces a bucket wholesale)
+    // buckets resolve through the current snapshot's manifest; a bucket's
+    // files may span SNAPSHOT DIRS (append lands new files beside the
+    // old ones), so reads go through the per-dir grouping in readFiles
     val byBucket = readManifest(tableRoot, snapshotId).groupBy(_.bucket)
     // resume validates LINEAGE, not just bucket presence: a checkpoint
     // committed against an older snapshot (the table advanced via
@@ -704,9 +704,7 @@ object TranscriptTable {
         // empty manifest so resume can progress past it
         commitBucket(outRoot, b, snapshotId, nBuckets, Counters(0, 0, 0))
       } else {
-      val snapRel = bucketFiles.head.path.split('/').take(2).mkString("/")
-      val in = spark.read.option("basePath", s"$tableRoot/$snapRel")
-        .parquet(bucketFiles.map(f => s"$tableRoot/${f.path}"): _*)
+      val in = readFiles(spark, tableRoot, bucketFiles)
       // counters ride the write itself via observe() (SURVEY §2.5): the
       // metrics are collected from the rows as they flow into the parquet
       // sink, so the manifest commits in ONE output pass — the round-2

@@ -265,6 +265,32 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(TranscriptTable.read(sp, root).count() == b1.count() + b2.count())
   }
 
+  test("checkpointed extract reads buckets whose files span snapshot dirs (append)") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_app_ext").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_app_out").toString
+    val nBuckets = 4
+    val b1 = Transcripts.synthesize(sp, 20, seed = 13L).toDF()
+    val b2 = Transcripts.synthesize(sp, 10, seed = 14L).toDF()
+    TranscriptTable.write(b1, root, nBuckets, snapshotId = 1L)
+    TranscriptTable.append(b2, root, newSnapshotId = 2L)
+    // every bucket now mixes snap-1 and snap-2 files; the extract must read
+    // the union, not just the first file's snapshot dir
+    val c = TranscriptTable.extractWithCheckpoints(sp, root, out, nBuckets)
+    val expect = TranscriptTable.read(sp, root)
+      .filter(col("tool").isin("pdftohtml", "shakespeare")).count()
+    assert(c.turns == expect, s"${c.turns} != $expect")
+    val extracted = sp.read.parquet((0 until nBuckets).flatMap { b =>
+      val d = java.nio.file.Paths.get(out, "data", s"bucket=$b")
+      if (java.nio.file.Files.isDirectory(d)) Some(d.toString) else None
+    }: _*)
+    assert(extracted.select("conv_id").distinct().count() ==
+      TranscriptTable.read(sp, root)
+        .filter(col("tool").isin("pdftohtml", "shakespeare"))
+        .select("conv_id").distinct().count())
+  }
+
   test("overwriteBucket refuses to silently drop a bucket; stale checkpoints refuse resume") {
     val sp = spark
     import org.apache.spark.sql.functions._
