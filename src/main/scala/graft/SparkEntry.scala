@@ -1000,6 +1000,74 @@ object SparkEntry {
         .map { case (w, (r, c)) => (w, r, c) }
         .toDF("win", "n_rows", "n_convs").orderBy(col("win"))
     }),
+    "q44_metadata_tables" -> ((s, dir) => {
+      // Iceberg-style METADATA tables over the snapshot/manifest layer:
+      // `snapshots` (lineage + operation + footer-stat file/row totals),
+      // `files` (per-file skipping stats) and `history` (ancestor chain).
+      // Lifecycle: write → append → append → compact(replace); the oracled
+      // output is one row per snapshot (operation + n_rows) where n_rows
+      // comes from the MANIFEST's footer-collected stats and the oracle
+      // recomputes it from the materialized per-batch row mapping — so a
+      // green row attests the metadata layer's stats agree with the data
+      // that actually landed. Cross-table invariants (files↔snapshots
+      // totals, history chain order, compaction shrinking files but not
+      // rows, expire semantics) are require-pinned.
+      val n = math.min(nConvsFor(dir), 120L)
+      val root = java.nio.file.Files.createTempDirectory("graft_q44").toString
+      val tt = graft.spark.TranscriptTable
+      val b1 = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      val b2 = Transcripts.synthesize(s, math.max(1L, n / 2), seed = 4401L).toDF()
+      val b3 = Transcripts.synthesize(s, math.max(1L, n / 4), seed = 4402L).toDF()
+      def tagged(df: org.apache.spark.sql.DataFrame, b: Int) =
+        df.select(col("conv_id"), col("turn_idx")).withColumn("batch", lit(b))
+      materialize(tagged(b1, 1).unionByName(tagged(b2, 2)).unionByName(tagged(b3, 3)),
+        "q44_expected")
+      tt.write(b1, root, nBuckets = 8, snapshotId = 1L, filesPerBucket = 2)
+      tt.append(b2, root, newSnapshotId = 2L)
+      tt.append(b3, root, newSnapshotId = 3L)
+      tt.compact(s, root, newSnapshotId = 4L, filesPerBucket = 1)
+      val snaps = tt.snapshotsTable(s, root)
+      val snapRows = snaps.collect().sortBy(_.getLong(0))
+      require(snapRows.map(_.getLong(0)).toVector == Vector(1L, 2L, 3L, 4L),
+        "snapshots table must list every live snapshot")
+      // files ↔ snapshots consistency, per snapshot
+      snapRows.foreach { r =>
+        val id = r.getLong(0)
+        val agg = tt.filesTable(s, root, Some(id))
+          .agg(coalesce(sum(col("row_count")), lit(0L)), count(lit(1))).head()
+        require(agg.getLong(0) == r.getLong(r.fieldIndex("n_rows")),
+          s"files table rows for snapshot $id disagree with snapshots table")
+        require(agg.getLong(1) == r.getLong(r.fieldIndex("n_files")),
+          s"files table count for snapshot $id disagrees with snapshots table")
+      }
+      // compaction rewrote the same rows into fewer files
+      val byId = snapRows.map(r => r.getLong(0) -> r).toMap
+      require(byId(4L).getLong(byId(4L).fieldIndex("n_files")) <
+        byId(3L).getLong(byId(3L).fieldIndex("n_files")),
+        "compaction must shrink the file count")
+      require(snapRows.map(r => r.getBoolean(r.fieldIndex("is_current"))).toVector ==
+        Vector(false, false, false, true), "only the newest snapshot is current")
+      // history: ancestor chain, current first
+      val hist = tt.historyTable(s, root).collect()
+      require(hist.map(_.getLong(0)).toVector == Vector(4L, 3L, 2L, 1L),
+        "history must walk the parent chain from current")
+      require(hist.map(r => r.getBoolean(r.fieldIndex("is_current"))).toVector ==
+        Vector(true, false, false, false), "history marks only current")
+      // the oracled OUTPUT is collected above; expire must not disturb it,
+      // and the metadata tables must track the shrunken table
+      tt.expireSnapshots(root, keep = Set(3L, 4L))
+      require(tt.snapshotIds(root) == Vector(3L, 4L),
+        "expire must drop snapshots 1 and 2")
+      require(tt.historyTable(s, root).count() == 2L,
+        "history stops at an expired parent")
+      require(tt.snapshotsTable(s, root).count() == 2L,
+        "snapshots table lists only live snapshots after expire")
+      import s.implicits._
+      snapRows.toVector
+        .map(r => (r.getLong(0), r.getString(r.fieldIndex("operation")),
+          r.getLong(r.fieldIndex("n_rows"))))
+        .toDF("snapshot_id", "operation", "n_rows").orderBy(col("snapshot_id"))
+    }),
     "q30_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup (dropDuplicatesWithinWatermark): plant exact
       // copies of 20 document turns under fresh conv ids, stream the lot,
@@ -1300,6 +1368,18 @@ object SparkEntry {
         |   FROM m WHERE batch = 3
         | UNION ALL SELECT 'w33', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         | ORDER BY win""".stripMargin.replace("\n", ""),
+    "q44_metadata_tables" ->
+      // per-snapshot row totals recomputed from the per-batch mapping:
+      // snapshot k (append chain) holds batches 1..k; snapshot 4 is the
+      // compaction REPLACE of snapshot 3 (same rows, fewer files). The
+      // operations are the expected lifecycle contract, literal-encoded.
+      """WITH m AS (SELECT batch FROM read_parquet('{MAT}/q44_expected/*.parquet')),
+        | ops(snapshot_id, operation, upto) AS (VALUES
+        |   (1, 'append', 1), (2, 'append', 2),
+        |   (3, 'append', 3), (4, 'replace', 3))
+        | SELECT CAST(ops.snapshot_id AS BIGINT) AS snapshot_id, ops.operation,
+        |   (SELECT COUNT(*) FROM m WHERE m.batch <= ops.upto) AS n_rows
+        | FROM ops ORDER BY snapshot_id""".stripMargin.replace("\n", ""),
     "q41_data_skipping" ->
       // mirrors the Spark side's rank-picked bounds: range = rows whose
       // conv_id lies between the 6th and 21st distinct id (1-based rank),

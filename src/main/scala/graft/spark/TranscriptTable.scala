@@ -539,12 +539,7 @@ object TranscriptTable {
       sys.error(s"no current snapshot at $root"))
     require(keep.contains(cur), s"keep set must include current snapshot $cur")
     val meta = Paths.get(root, "metadata")
-    val all = drained(Files.list(meta)) {
-      _.map(_.getFileName.toString)
-        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-        .toVector
-    }
+    val all = snapshotIds(root)
     val referenced = keep.flatMap(id => readManifest(root, id).map(_.path))
     all.filterNot(keep).foreach { id =>
       listDataFiles(root, id).foreach { f =>
@@ -589,6 +584,87 @@ object TranscriptTable {
     val p = Paths.get(root, "metadata", "current.json")
     if (!Files.exists(p)) None
     else Json.parse(Files.readString(p)).get("current_snapshot_id").map(_.asLong)
+  }
+
+  /** All live (unexpired) snapshot ids, ascending. */
+  def snapshotIds(root: String): Vector[Long] = {
+    val meta = Paths.get(root, "metadata")
+    if (!Files.isDirectory(meta)) Vector.empty
+    else drained(Files.list(meta)) {
+      _.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toVector
+    }.sorted
+  }
+
+  // ---- metadata tables (Iceberg's `snapshots` / `files` / `history`) -----
+  //
+  // Driver-side manifest reads surfaced as DataFrames, so operational
+  // queries ("how many rows did snapshot 3 add", "which files hold bucket
+  // 2", "what chain produced the current state") compose with the rest of
+  // the relational layer. Metadata-ONLY: cost scales with file count, not
+  // row count — at 10^12 turns the manifests are still a few MB of JSON
+  // per snapshot, exactly the trade Iceberg makes for its metadata tables.
+
+  /** One row per live snapshot: lineage, operation, file/row totals from
+    * the manifest's footer-collected stats (`n_rows` = -1 when any file
+    * predates stats collection — never guess what you can't prove).
+    */
+  def snapshotsTable(spark: SparkSession, root: String): DataFrame = {
+    val cur = currentSnapshotId(root)
+    val rows = snapshotIds(root).map { id =>
+      val m = snapshotMeta(root, id)
+      val manifest = readManifest(root, id)
+      val nRows = if (manifest.forall(_.rows >= 0L)) manifest.map(_.rows).sum else -1L
+      (id, m.get("parent_snapshot_id").map(_.asLong),
+        m.get("operation").map(_.asString).getOrElse("unknown"),
+        m("partition_spec")("n_buckets").asInt,
+        manifest.size.toLong, nRows, cur.contains(id))
+    }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "parent_snapshot_id", "operation", "n_buckets",
+      "n_files", "n_rows", "is_current")
+  }
+
+  /** One row per data file in a snapshot's manifest (default: current),
+    * with the per-file skipping stats [[readConvIdRange]] prunes on.
+    */
+  def filesTable(spark: SparkSession, root: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val id = snapshotId.orElse(currentSnapshotId(root)).getOrElse(
+      sys.error(s"no current snapshot at $root (missing metadata/current.json)"))
+    val rows = readManifest(root, id).map { f =>
+      (id, f.bucket, f.path, if (f.rows >= 0L) Some(f.rows) else None,
+        f.minConvId, f.maxConvId)
+    }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "bucket", "path", "row_count",
+      "min_conv_id", "max_conv_id")
+  }
+
+  /** The current snapshot's ancestor chain (current first), like Iceberg's
+    * `history` filtered to ancestors: how the table got here. The walk
+    * stops at an expired parent (its metadata is gone) and refuses cycles.
+    */
+  def historyTable(spark: SparkSession, root: String): DataFrame = {
+    val cur = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root (missing metadata/current.json)"))
+    val buf = Vector.newBuilder[(Long, Option[Long], String, Boolean)]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var id: Option[Long] = Some(cur)
+    while (id.exists(i =>
+        Files.exists(Paths.get(root, "metadata", s"snapshot-$i.json")))) {
+      val i = id.get
+      require(seen.add(i), s"snapshot lineage cycle at $i in $root")
+      val m = snapshotMeta(root, i)
+      val parent = m.get("parent_snapshot_id").map(_.asLong)
+      buf += ((i, parent, m.get("operation").map(_.asString).getOrElse("unknown"),
+        i == cur))
+      id = parent
+    }
+    import spark.implicits._
+    buf.result().toDF("snapshot_id", "parent_snapshot_id", "operation", "is_current")
   }
 
   private def atomicWrite(path: Path, content: String): Unit = {

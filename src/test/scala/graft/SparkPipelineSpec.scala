@@ -265,6 +265,46 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(TranscriptTable.read(sp, root).count() == b1.count() + b2.count())
   }
 
+  test("metadata tables: snapshots/files/history reflect lineage, stats, expiry") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val b1 = Transcripts.synthesize(sp, 16, seed = 13L).toDF()
+    val b2 = Transcripts.synthesize(sp, 8, seed = 14L).toDF()
+    TranscriptTable.write(b1, root, nBuckets = 4, snapshotId = 1L, filesPerBucket = 2)
+    TranscriptTable.append(b2, root, newSnapshotId = 2L)
+    val snaps = TranscriptTable.snapshotsTable(sp, root).orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toVector == Vector(1L, 2L))
+    assert(snaps.map(r => r.getString(r.fieldIndex("operation"))).toVector ==
+      Vector("append", "append"))
+    assert(snaps.map(r => r.getBoolean(r.fieldIndex("is_current"))).toVector ==
+      Vector(false, true))
+    // n_rows from footer stats must equal real reads, at both snapshots
+    assert(snaps(0).getLong(snaps(0).fieldIndex("n_rows")) ==
+      TranscriptTable.readAt(sp, root, 1L).count())
+    assert(snaps(1).getLong(snaps(1).fieldIndex("n_rows")) ==
+      TranscriptTable.read(sp, root).count())
+    // files table: default = current snapshot; totals agree with snapshots
+    val files = TranscriptTable.filesTable(sp, root)
+    assert(files.agg(sum(col("row_count"))).head().getLong(0) ==
+      snaps(1).getLong(snaps(1).fieldIndex("n_rows")))
+    assert(files.count() == snaps(1).getLong(snaps(1).fieldIndex("n_files")))
+    assert(files.select("snapshot_id").distinct().head().getLong(0) == 2L)
+    // history walks current-first through the parent chain
+    val hist = TranscriptTable.historyTable(sp, root).collect()
+    assert(hist.map(_.getLong(0)).toVector == Vector(2L, 1L))
+    assert(hist.map(r => r.getBoolean(r.fieldIndex("is_current"))).toVector ==
+      Vector(true, false))
+    // expiring the parent: snapshots shrinks, history stops at the gap
+    TranscriptTable.expireSnapshots(root, keep = Set(2L))
+    assert(TranscriptTable.snapshotIds(root) == Vector(2L))
+    assert(TranscriptTable.snapshotsTable(sp, root).count() == 1L)
+    val hist2 = TranscriptTable.historyTable(sp, root).collect()
+    assert(hist2.map(_.getLong(0)).toVector == Vector(2L))
+    // the expired parent is still RECORDED as lineage even if unreadable
+    assert(hist2(0).getLong(hist2(0).fieldIndex("parent_snapshot_id")) == 1L)
+  }
+
   test("checkpointed extract reads buckets whose files span snapshot dirs (append)") {
     val sp = spark
     import org.apache.spark.sql.functions._
