@@ -1068,6 +1068,67 @@ object SparkEntry {
           r.getLong(r.fieldIndex("n_rows"))))
         .toDF("snapshot_id", "operation", "n_rows").orderBy(col("snapshot_id"))
     }),
+    "q45_cow_delete" -> ((s, dir) => {
+      // copy-on-write row-level delete: build write → append, pick the 3
+      // smallest conv ids (deterministic, so the oracle can re-derive the
+      // SAME set from the materialized mapping), deleteConvIds → new
+      // snapshot. Stats-pruned rewrite: only candidate files (bucket +
+      // min/max match) are rewritten, every other file carries into the
+      // new manifest BY REFERENCE — require-pinned below, along with
+      // time-travel to the pre-delete snapshot, incremental-scan refusal
+      // across the delete, and the no-match refusal. The oracled output
+      // (before/after/deleted row+conv counts, engine-read) is recomputed
+      // by the oracle from the input mapping alone.
+      val n = math.min(nConvsFor(dir), 120L)
+      val root = java.nio.file.Files.createTempDirectory("graft_q45").toString
+      val tt = graft.spark.TranscriptTable
+      val b1 = Transcripts.synthesize(s, n, seed = 42L).toDF()
+      val b2 = Transcripts.synthesize(s, math.max(1L, n / 2), seed = 4501L).toDF()
+      materialize(b1.select(col("conv_id"), col("turn_idx"))
+        .unionByName(b2.select(col("conv_id"), col("turn_idx"))), "q45_expected")
+      tt.write(b1, root, nBuckets = 8, snapshotId = 1L, filesPerBucket = 2,
+        layout = "range")
+      tt.append(b2, root, newSnapshotId = 2L)
+      val victims = tt.read(s, root).select("conv_id").distinct()
+        .orderBy("conv_id").limit(3).collect().map(_.getString(0)).toSeq
+      val manifestBefore = tt.readManifest(root, 2L)
+      def cnt(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), countDistinct(col("conv_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val before = cnt(tt.read(s, root))
+      val deletedRows = tt.deleteConvIds(s, root, victims, newSnapshotId = 3L)
+      val after = cnt(tt.read(s, root))
+      // pruning did its job: most files carried over BY REFERENCE (path
+      // identity), only stat-matching candidates were rewritten
+      val (cands, totalFiles) = tt.selectFilesForIds(root, 2L, victims)
+      require(cands.size < totalFiles,
+        s"stats pruning must rewrite a strict subset (${cands.size}/$totalFiles)")
+      val candPaths = cands.map(_.path).toSet
+      val carried = manifestBefore.filterNot(f => candPaths(f.path)).map(_.path).toSet
+      val after3 = tt.readManifest(root, 3L).map(_.path).toSet
+      require(carried.subsetOf(after3),
+        "non-candidate files must carry into the delete snapshot by reference")
+      require(after3.intersect(candPaths).isEmpty,
+        "rewritten candidate files must not remain in the new manifest")
+      // deleted convs survive time-travel to the pre-delete snapshot
+      require(tt.readAt(s, root, 2L)
+        .filter(col("conv_id").isin(victims: _*)).count() > 0L,
+        "pre-delete snapshot must still hold the deleted conversations")
+      require(tt.read(s, root)
+        .filter(col("conv_id").isin(victims: _*)).count() == 0L,
+        "current read must not see deleted conversations")
+      // a delete breaks append-chain deltas; a nonexistent id refuses
+      require(scala.util.Try(tt.incrementalRead(s, root, 2L, 3L)).isFailure,
+        "incremental read across a delete snapshot must refuse")
+      require(scala.util.Try(
+        tt.deleteConvIds(s, root, Seq("no-such-conv"), newSnapshotId = 4L)).isFailure,
+        "deleting a nonexistent conv id must refuse, not commit a no-op")
+      import s.implicits._
+      Seq(("after", after._1, after._2), ("before", before._1, before._2),
+        ("deleted", deletedRows, victims.size.toLong))
+        .toDF("phase", "n_rows", "n_convs").orderBy(col("phase"))
+    }),
     "q30_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup (dropDuplicatesWithinWatermark): plant exact
       // copies of 20 document turns under fresh conv ids, stream the lot,
@@ -1380,6 +1441,22 @@ object SparkEntry {
         | SELECT CAST(ops.snapshot_id AS BIGINT) AS snapshot_id, ops.operation,
         |   (SELECT COUNT(*) FROM m WHERE m.batch <= ops.upto) AS n_rows
         | FROM ops ORDER BY snapshot_id""".stripMargin.replace("\n", ""),
+    "q45_cow_delete" ->
+      // the deleted set is re-derived independently (3 smallest distinct
+      // conv ids over the whole mapping); before/after/deleted counts
+      // recomputed with plain filters — agreement attests the engine
+      // deleted exactly those conversations and nothing else
+      """WITH m AS (SELECT conv_id, turn_idx
+        |   FROM read_parquet('{MAT}/q45_expected/*.parquet')),
+        | del AS (SELECT conv_id FROM
+        |   (SELECT DISTINCT conv_id FROM m ORDER BY conv_id LIMIT 3))
+        | SELECT 'after' AS phase, COUNT(*) AS n_rows,
+        |     COUNT(DISTINCT conv_id) AS n_convs FROM m
+        |   WHERE conv_id NOT IN (SELECT conv_id FROM del)
+        | UNION ALL SELECT 'before', COUNT(*), COUNT(DISTINCT conv_id) FROM m
+        | UNION ALL SELECT 'deleted', COUNT(*), COUNT(DISTINCT conv_id) FROM m
+        |   WHERE conv_id IN (SELECT conv_id FROM del)
+        | ORDER BY phase""".stripMargin.replace("\n", ""),
     "q41_data_skipping" ->
       // mirrors the Spark side's rank-picked bounds: range = rows whose
       // conv_id lies between the 6th and 21st distinct id (1-based rank),

@@ -449,6 +449,52 @@ object TranscriptTable {
       newSnapshotId, filesPerBucket, layout, operation = "replace")
   }
 
+  /** Copy-on-write row-level DELETE by conversation id (Iceberg's
+    * copy-on-write delete shape): only data files that can contain one
+    * of `convIds` — bucket pruning + footer min/max stats, the same
+    * planning step [[readConvIds]] does — are rewritten without the
+    * deleted rows; every OTHER file carries into the new snapshot's
+    * manifest by reference, untouched. At 10^12 turns a compliance
+    * delete of a handful of conversations rewrites a few files, not the
+    * table. The pre-delete snapshot stays time-travelable until expired;
+    * incremental append scans crossing the delete snapshot refuse (a
+    * delete has no file-granular row delta). Returns the number of rows
+    * deleted; refuses when no row matches — a typo'd id must fail
+    * loudly, not commit a no-op snapshot.
+    */
+  def deleteConvIds(spark: SparkSession, root: String, convIds: Seq[String],
+      newSnapshotId: Long): Long = {
+    require(convIds.nonEmpty, "deleteConvIds: empty conv id list")
+    requireFreshSnapshot(root, newSnapshotId)
+    val curId = currentSnapshotId(root).getOrElse(
+      sys.error(s"no current snapshot at $root"))
+    val cur = snapshotMeta(root, curId)
+    val nBuckets = cur("partition_spec")("n_buckets").asInt
+    val (candidates, total) = selectFilesForIds(root, curId, convIds)
+    val candPaths = candidates.map(_.path).toSet
+    val kept = readManifest(root, curId).filterNot(f => candPaths(f.path))
+    val deleted =
+      if (candidates.isEmpty) 0L
+      else readFiles(spark, root, candidates)
+        .filter(col("conv_id").isin(convIds: _*)).count()
+    require(deleted > 0L,
+      s"deleteConvIds: no row matches any of the ${convIds.size} conv ids " +
+        s"(checked ${candidates.size}/$total candidate files) — refusing to " +
+        "commit a no-op snapshot")
+    readFiles(spark, root, candidates)
+      .filter(!col("conv_id").isin(convIds: _*))
+      .repartition(math.max(1, candidates.map(_.bucket).distinct.size), col("bucket"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (4 * 1024 * 1024).toString) // see write()
+      .partitionBy("bucket")
+      .parquet(snapDataDir(root, newSnapshotId))
+    val newFiles = listDataFiles(root, newSnapshotId)
+    writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
+      kept ++ withStats(root, newFiles), "delete", Some(curId))
+    deleted
+  }
+
   // ---- data skipping ------------------------------------------------------
 
   /** Spark-compatible conv_id bucket, computed driver-side: the same

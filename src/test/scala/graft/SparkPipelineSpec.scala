@@ -305,6 +305,53 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(hist2(0).getLong(hist2(0).fieldIndex("parent_snapshot_id")) == 1L)
   }
 
+  test("copy-on-write delete rewrites only stat-matching files; refusals are loud") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val t = Transcripts.synthesize(sp, 24, seed = 13L).toDF()
+    TranscriptTable.write(t, root, nBuckets = 4, snapshotId = 1L,
+      filesPerBucket = 2, layout = "range")
+    val total = TranscriptTable.read(sp, root).count()
+    val victim = TranscriptTable.read(sp, root).select("conv_id").distinct()
+      .orderBy("conv_id").head().getString(0)
+    val victimRows = TranscriptTable.read(sp, root)
+      .filter(col("conv_id") === victim).count()
+    val before = TranscriptTable.readManifest(root, 1L)
+    val deleted = TranscriptTable.deleteConvIds(sp, root, Seq(victim), 2L)
+    assert(deleted == victimRows)
+    assert(TranscriptTable.read(sp, root).count() == total - victimRows)
+    assert(TranscriptTable.read(sp, root)
+      .filter(col("conv_id") === victim).count() == 0L)
+    // old snapshot still readable with the victim present (time travel)
+    assert(TranscriptTable.readAt(sp, root, 1L)
+      .filter(col("conv_id") === victim).count() == victimRows)
+    // only candidate files were rewritten; the rest carried by reference
+    val (cands, totalFiles) = TranscriptTable.selectFilesForIds(root, 1L, Seq(victim))
+    assert(cands.nonEmpty && cands.size < totalFiles)
+    val candSet = cands.map(_.path).toSet
+    val after = TranscriptTable.readManifest(root, 2L).map(_.path).toSet
+    assert(before.filterNot(f => candSet(f.path)).forall(f => after(f.path)))
+    assert(after.intersect(candSet).isEmpty)
+    // operation stamps "delete": incremental scans crossing it refuse
+    intercept[Exception] { TranscriptTable.incrementalRead(sp, root, 1L, 2L) }
+    // a no-match delete refuses BEFORE writing anything; the id stays fresh
+    intercept[IllegalArgumentException] {
+      TranscriptTable.deleteConvIds(sp, root, Seq("zzz-no-such"), 3L)
+    }
+    assert(TranscriptTable.currentSnapshotId(root).contains(2L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", "snap-3")))
+    // deleting EVERY conversation in a candidate file set still commits a
+    // valid snapshot (kept files only — no empty-file litter)
+    val rest = TranscriptTable.read(sp, root).select("conv_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val d2 = TranscriptTable.deleteConvIds(sp, root, rest, 4L)
+    assert(d2 == total - victimRows)
+    assert(TranscriptTable.readManifest(root, 4L).isEmpty ||
+      TranscriptTable.read(sp, root).count() == 0L)
+  }
+
   test("checkpointed extract reads buckets whose files span snapshot dirs (append)") {
     val sp = spark
     import org.apache.spark.sql.functions._
