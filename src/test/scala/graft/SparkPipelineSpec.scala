@@ -333,6 +333,12 @@ class SparkPipelineSpec extends AnyFunSuite {
     val after = TranscriptTable.readManifest(root, 2L).map(_.path).toSet
     assert(before.filterNot(f => candSet(f.path)).forall(f => after(f.path)))
     assert(after.intersect(candSet).isEmpty)
+    // metadata tables see the delete: footer-stat totals track the
+    // rewrite, the operation is stamped "delete"
+    val snap2 = TranscriptTable.snapshotsTable(sp, root)
+      .filter(col("snapshot_id") === 2L).head()
+    assert(snap2.getLong(snap2.fieldIndex("n_rows")) == total - victimRows)
+    assert(snap2.getString(snap2.fieldIndex("operation")) == "delete")
     // operation stamps "delete": incremental scans crossing it refuse
     intercept[Exception] { TranscriptTable.incrementalRead(sp, root, 1L, 2L) }
     // a no-match delete refuses BEFORE writing anything; the id stays fresh
