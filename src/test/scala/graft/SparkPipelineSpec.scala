@@ -348,6 +348,30 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(TranscriptTable.currentSnapshotId(root).contains(2L))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "data", "snap-3")))
+    // a delete ADVANCES the table like any write: an extraction output
+    // checkpointed against the pre-delete snapshot refuses to resume
+    // (mixed-snapshot guard), and reextractStale re-runs against the
+    // post-delete state — the deleted conversation must be gone from the
+    // re-extracted output
+    val out = java.nio.file.Files.createTempDirectory("graft_del_out").toString
+    (0 until 4).foreach(b =>
+      TranscriptTable.commitBucket(out, b, 1L, 4, TranscriptTable.Counters(0, 0, 0)))
+    java.nio.file.Files.delete(
+      TranscriptTable.checkpointDir(out).resolve("bucket-0.json"))
+    val stale = intercept[RuntimeException] {
+      TranscriptTable.extractWithCheckpoints(sp, root, out, 4)
+    }
+    assert(stale.getMessage.contains("snapshot"), stale.getMessage)
+    TranscriptTable.extractWithCheckpoints(sp, root, out, 4, reextractStale = true)
+    assert(TranscriptTable.committedBucketSnapshots(out).values.toSet == Set(2L))
+    val extractedDirs = (0 until 4).map(b =>
+      java.nio.file.Paths.get(out, "data", s"bucket=$b"))
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.toString)
+    if (extractedDirs.nonEmpty)
+      assert(sp.read.parquet(extractedDirs: _*)
+        .filter(col("conv_id") === victim).count() == 0L,
+        "re-extracted output must not contain the deleted conversation")
+
     // deleting EVERY conversation in a candidate file set still commits a
     // valid snapshot (kept files only — no empty-file litter)
     val rest = TranscriptTable.read(sp, root).select("conv_id").distinct()
