@@ -76,6 +76,44 @@ object SparkEntry {
     require(finished, s"$name: streaming query did not terminate within ${timeoutMs}ms")
   }
 
+  /** Overlap INDEPENDENT Spark actions from a small driver pool (guide
+    * §2.6): Spark schedules concurrent jobs fine, and each action here is
+    * a read-only attestation over committed files, so ordering between
+    * them is immaterial. On a cluster this backfills one job's straggler
+    * tail with the next job's tasks; on small inputs it overlaps the
+    * fixed per-job cost (planning + scheduling), which dominates there.
+    */
+  private def par2[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val (a, b) = (Future(fa), Future(fb))
+      (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
+    } finally pool.shutdown()
+  }
+  private def par3[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val (a, b, c) = (Future(fa), Future(fb), Future(fc))
+      (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf),
+        Await.result(c, Duration.Inf))
+    } finally pool.shutdown()
+  }
+  private def par5[A](fs: Seq[() => A]): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.length)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** transcripts scale keyed off the sf directory (deterministic, no I/O) */
   private def nConvsFor(dir: String): Long =
     if (dir.contains("0.1")) 1000L else if (dir.contains("0.01")) 200L else 40L
@@ -677,9 +715,9 @@ object SparkEntry {
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
       graft.spark.TranscriptTable.write(transcripts, s"$tmp/table", nBuckets, snapshotId = 1L)
       val c1 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 4)
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 8)
       val c2 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 4) // all committed
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 8) // all committed
       require(c1 == c2, s"checkpoint resume must be a no-op: $c1 vs $c2")
       val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
@@ -756,7 +794,7 @@ object SparkEntry {
       val transcripts = Transcripts.synthesizeSkewed(s, n, seed = 42L, nBuckets = nBuckets).toDF()
       graft.spark.TranscriptTable.write(transcripts, s"$tmp/table", nBuckets, snapshotId = 1L)
       val c1 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 4)
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 8)
       require(c1.turns > 0, "skew corpus extracted no turns")
       val goldens = Transcripts.skewedGoldens(s, n, seed = 42L, nBuckets = nBuckets).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
@@ -808,16 +846,20 @@ object SparkEntry {
           sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_bucket0"))
         .head()
       // EAGER evaluation: the result rows must be collected before
-      // expireSnapshots deletes the files a lazy plan would re-scan
-      val r1 = stats(graft.spark.TranscriptTable.readAt(s, root, 1L))
-      val r2 = stats(graft.spark.TranscriptTable.read(s, root))
-      // non-overwritten buckets must be byte-identical across snapshots
+      // expireSnapshots deletes the files a lazy plan would re-scan.
+      // The two snapshot stats and the cross-snapshot drift check are
+      // independent reads of committed snapshots — overlap them
+      // (guide §2.6)
       val cols = Seq("conv_id", "turn_idx", "role", "text", "tool")
-      val othersDiff = graft.spark.TranscriptTable.readAt(s, root, 1L)
-        .filter(col("bucket") =!= 0).select(cols.map(col): _*)
-        .exceptAll(graft.spark.TranscriptTable.read(s, root)
-          .filter(col("bucket") =!= 0).select(cols.map(col): _*))
-        .count()
+      val (r1, r2, othersDiff) = par3(
+        stats(graft.spark.TranscriptTable.readAt(s, root, 1L)),
+        stats(graft.spark.TranscriptTable.read(s, root)),
+        // non-overwritten buckets must be byte-identical across snapshots
+        graft.spark.TranscriptTable.readAt(s, root, 1L)
+          .filter(col("bucket") =!= 0).select(cols.map(col): _*)
+          .exceptAll(graft.spark.TranscriptTable.read(s, root)
+            .filter(col("bucket") =!= 0).select(cols.map(col): _*))
+          .count())
       require(othersDiff == 0L, s"non-overwritten buckets drifted: $othersDiff rows")
       // maintenance pass: bin-pack the current snapshot into snapshot 3
       // (Iceberg rewrite_data_files) — fewer files, identical aggregates
@@ -863,12 +905,17 @@ object SparkEntry {
           .join(perTurn, Seq("conv_id", "turn_idx"), "left")
           .na.fill(0L, Seq("g_lines")),
         "q23b_expected")
-      val q = graft.streaming.StreamingExtract.startParquet(
-        graft.streaming.StreamingExtract.windowedCounts(
-          graft.streaming.StreamingExtract.extractedStream(
-            graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in"))),
-        s"$tmp/out", s"$tmp/ck")
-      awaitStream(q, "q23b_stream_windows_wm")
+      // stateful stream: size the state-store partition count to the
+      // input volume (statePartitionsFor scaladoc) — AQE cannot coalesce
+      // stateful streaming exchanges, and 32 near-empty stores paying a
+      // commit per micro-batch is pure fixed cost
+      val se = graft.streaming.StreamingExtract
+      se.withStatePartitions(s, se.statePartitionsFor(s, s"$tmp/in")) {
+        val q = se.startParquet(
+          se.windowedCounts(se.extractedStream(se.readTranscripts(s, s"$tmp/in"))),
+          s"$tmp/out", s"$tmp/ck")
+        awaitStream(q, "q23b_stream_windows_wm")
+      }
       s.read.parquet(s"$tmp/out")
         .select(col("window.start").as("win_start"), col("format"),
           col("turns").cast("bigint").as("turns"),
@@ -895,12 +942,15 @@ object SparkEntry {
           .join(perTurn, Seq("conv_id", "turn_idx"), "left")
           .na.fill(0L, Seq("g_lines")),
         "q31_expected")
-      val q = graft.streaming.StreamingExtract.startParquet(
-        graft.streaming.StreamingExtract.sessionizedStream(
-          graft.streaming.StreamingExtract.extractedStream(
-            graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in"))).toDF(),
-        s"$tmp/out", s"$tmp/ck")
-      awaitStream(q, "q31_stream_sessions")
+      // stateful stream: state partitions sized to input volume (see q23b)
+      val se = graft.streaming.StreamingExtract
+      se.withStatePartitions(s, se.statePartitionsFor(s, s"$tmp/in")) {
+        val q = se.startParquet(
+          se.sessionizedStream(
+            se.extractedStream(se.readTranscripts(s, s"$tmp/in"))).toDF(),
+          s"$tmp/out", s"$tmp/ck")
+        awaitStream(q, "q31_stream_sessions")
+      }
       s.read.parquet(s"$tmp/out")
         .select(col("conv_id"), col("turns").cast("bigint").as("turns"),
           col("lines").cast("bigint").as("lines"),
@@ -974,17 +1024,23 @@ object SparkEntry {
       materialize(tagged(b1, 1).unionByName(tagged(b2, 2)).unionByName(tagged(b3, 3)),
         "q43_expected")
       tt.write(b1, root, nBuckets = 8, snapshotId = 1L)
-      tt.append(b2, root, newSnapshotId = 2L)
-      tt.append(b3, root, newSnapshotId = 3L)
+      // small appends land 1 file per bucket (guide §6: no small-files
+      // fan-out); the delta windows below then open 8 files, not 32
+      tt.append(b2, root, newSnapshotId = 2L, filesPerBucket = 1)
+      tt.append(b3, root, newSnapshotId = 3L, filesPerBucket = 1)
       def cnt(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
         val r = df.agg(count(lit(1)), countDistinct(col("conv_id"))).head()
         (r.getLong(0), r.getLong(1))
       }
-      val w12 = cnt(tt.incrementalRead(s, root, 1L, 2L))
-      val w23 = cnt(tt.incrementalRead(s, root, 2L, 3L))
-      val w13 = cnt(tt.incrementalRead(s, root, 1L, 3L))
-      val w33 = cnt(tt.incrementalRead(s, root, 3L, 3L))
-      val full = cnt(tt.read(s, root))
+      // the five window scans are independent reads of committed
+      // snapshots — overlap them (guide §2.6) instead of paying five
+      // sequential fixed job costs
+      val Seq(w12, w23, w13, w33, full) = par5(Seq(
+        () => cnt(tt.incrementalRead(s, root, 1L, 2L)),
+        () => cnt(tt.incrementalRead(s, root, 2L, 3L)),
+        () => cnt(tt.incrementalRead(s, root, 1L, 3L)),
+        () => cnt(tt.incrementalRead(s, root, 3L, 3L)),
+        () => cnt(tt.read(s, root))))
       // snapshot 4 overwrites bucket 0 — delta scans crossing it refuse
       val bucket0 = b1.withColumn("b", tt.bucketCol(8)).filter(col("b") === 0).drop("b")
       tt.overwriteBucket(bucket0.unionByName(bucket0), root, bucket = 0,
@@ -1023,21 +1079,33 @@ object SparkEntry {
       materialize(tagged(b1, 1).unionByName(tagged(b2, 2)).unionByName(tagged(b3, 3)),
         "q44_expected")
       tt.write(b1, root, nBuckets = 8, snapshotId = 1L, filesPerBucket = 2)
-      tt.append(b2, root, newSnapshotId = 2L)
-      tt.append(b3, root, newSnapshotId = 3L)
+      // small appends land 1 file per bucket (guide §6: no small-files
+      // fan-out) — compaction still strictly shrinks the file count
+      tt.append(b2, root, newSnapshotId = 2L, filesPerBucket = 1)
+      tt.append(b3, root, newSnapshotId = 3L, filesPerBucket = 1)
       tt.compact(s, root, newSnapshotId = 4L, filesPerBucket = 1)
-      val snaps = tt.snapshotsTable(s, root)
-      val snapRows = snaps.collect().sortBy(_.getLong(0))
+      // the snapshots read, the files↔snapshots cross-check and the
+      // history walk are independent metadata queries — overlap them
+      // (guide §2.6); the per-snapshot files aggregation is ONE job over
+      // the unioned files tables instead of one job per snapshot
+      val (snapRows, fileAggs, hist) = par3(
+        tt.snapshotsTable(s, root).collect().sortBy(_.getLong(0)),
+        (1L to 4L).map(id => tt.filesTable(s, root, Some(id)))
+          .reduce(_.unionByName(_))
+          .groupBy(col("snapshot_id"))
+          .agg(coalesce(sum(col("row_count")), lit(0L)).as("rows"),
+            count(lit(1)).as("files"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap,
+        tt.historyTable(s, root).collect())
       require(snapRows.map(_.getLong(0)).toVector == Vector(1L, 2L, 3L, 4L),
         "snapshots table must list every live snapshot")
       // files ↔ snapshots consistency, per snapshot
       snapRows.foreach { r =>
         val id = r.getLong(0)
-        val agg = tt.filesTable(s, root, Some(id))
-          .agg(coalesce(sum(col("row_count")), lit(0L)), count(lit(1))).head()
-        require(agg.getLong(0) == r.getLong(r.fieldIndex("n_rows")),
+        val (aggRows, aggFiles) = fileAggs(id)
+        require(aggRows == r.getLong(r.fieldIndex("n_rows")),
           s"files table rows for snapshot $id disagree with snapshots table")
-        require(agg.getLong(1) == r.getLong(r.fieldIndex("n_files")),
+        require(aggFiles == r.getLong(r.fieldIndex("n_files")),
           s"files table count for snapshot $id disagrees with snapshots table")
       }
       // compaction rewrote the same rows into fewer files
@@ -1048,7 +1116,6 @@ object SparkEntry {
       require(snapRows.map(r => r.getBoolean(r.fieldIndex("is_current"))).toVector ==
         Vector(false, false, false, true), "only the newest snapshot is current")
       // history: ancestor chain, current first
-      val hist = tt.historyTable(s, root).collect()
       require(hist.map(_.getLong(0)).toVector == Vector(4L, 3L, 2L, 1L),
         "history must walk the parent chain from current")
       require(hist.map(r => r.getBoolean(r.fieldIndex("is_current"))).toVector ==
@@ -1058,9 +1125,10 @@ object SparkEntry {
       tt.expireSnapshots(root, keep = Set(3L, 4L))
       require(tt.snapshotIds(root) == Vector(3L, 4L),
         "expire must drop snapshots 1 and 2")
-      require(tt.historyTable(s, root).count() == 2L,
-        "history stops at an expired parent")
-      require(tt.snapshotsTable(s, root).count() == 2L,
+      val (histPost, snapsPost) = par2(
+        tt.historyTable(s, root).count(), tt.snapshotsTable(s, root).count())
+      require(histPost == 2L, "history stops at an expired parent")
+      require(snapsPost == 2L,
         "snapshots table lists only live snapshots after expire")
       import s.implicits._
       snapRows.toVector
@@ -1088,17 +1156,35 @@ object SparkEntry {
         .unionByName(b2.select(col("conv_id"), col("turn_idx"))), "q45_expected")
       tt.write(b1, root, nBuckets = 8, snapshotId = 1L, filesPerBucket = 2,
         layout = "range")
-      tt.append(b2, root, newSnapshotId = 2L)
-      val victims = tt.read(s, root).select("conv_id").distinct()
-        .orderBy("conv_id").limit(3).collect().map(_.getString(0)).toSeq
+      // small appends land 1 file per bucket: fanning ~500 rows into 4
+      // salted files per bucket is the small-files anti-pattern (guide §6)
+      // and every downstream read/prune pays the extra opens
+      tt.append(b2, root, newSnapshotId = 2L, filesPerBucket = 1)
+      // ONE pass gives both the victim pick and the "before" counts: the
+      // per-conversation row counts are at most `n` driver rows, and the
+      // old shape (distinct+orderBy+limit, then count+countDistinct) read
+      // the table twice for them. conv_ids are ASCII, so JVM string order
+      // here == Spark UTF8/binary order == the oracle's ORDER BY.
+      val perConv = tt.read(s, root).groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("c")).collect()
+      val victims = perConv.map(_.getString(0)).sorted.take(3).toSeq
+      val before = (perConv.map(_.getLong(1)).sum, perConv.length.toLong)
       val manifestBefore = tt.readManifest(root, 2L)
       def cnt(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
         val r = df.agg(count(lit(1)), countDistinct(col("conv_id"))).head()
         (r.getLong(0), r.getLong(1))
       }
-      val before = cnt(tt.read(s, root))
       val deletedRows = tt.deleteConvIds(s, root, victims, newSnapshotId = 3L)
-      val after = cnt(tt.read(s, root))
+      // the three post-delete attestations are independent reads of
+      // committed snapshots — overlap them (guide §2.6); the victim
+      // lookups go through the engine's own manifest pruning
+      // (readConvIdsAt / readConvIds) instead of full-table scans —
+      // pruning is conservative (stats only SKIP provably-clean files,
+      // the membership filter stays on), so the counts are identical
+      val (after, victimsAt2, victimsNow) = par3(
+        cnt(tt.read(s, root)),
+        tt.readConvIdsAt(s, root, 2L, victims).count(),
+        tt.readConvIds(s, root, victims).count())
       // pruning did its job: most files carried over BY REFERENCE (path
       // identity), only stat-matching candidates were rewritten
       val (cands, totalFiles) = tt.selectFilesForIds(root, 2L, victims)
@@ -1112,11 +1198,9 @@ object SparkEntry {
       require(after3.intersect(candPaths).isEmpty,
         "rewritten candidate files must not remain in the new manifest")
       // deleted convs survive time-travel to the pre-delete snapshot
-      require(tt.readAt(s, root, 2L)
-        .filter(col("conv_id").isin(victims: _*)).count() > 0L,
+      require(victimsAt2 > 0L,
         "pre-delete snapshot must still hold the deleted conversations")
-      require(tt.read(s, root)
-        .filter(col("conv_id").isin(victims: _*)).count() == 0L,
+      require(victimsNow == 0L,
         "current read must not see deleted conversations")
       // a delete breaks append-chain deltas; a nonexistent id refuses
       require(scala.util.Try(tt.incrementalRead(s, root, 2L, 3L)).isFailure,
@@ -1151,11 +1235,14 @@ object SparkEntry {
           .select(when(col("tool") === "pdftohtml", "pdfxml")
             .otherwise("shakespeare").as("format"), col("text")),
         "q30_expected")
-      val q = graft.streaming.StreamingExtract.startParquet(
-        graft.streaming.StreamingExtract.dedupedStream(
-          graft.streaming.StreamingExtract.readTranscripts(s, s"$tmp/in")),
-        s"$tmp/out", s"$tmp/ck")
-      awaitStream(q, "q30_stream_dedup")
+      // stateful stream: state partitions sized to input volume (see q23b)
+      val se = graft.streaming.StreamingExtract
+      se.withStatePartitions(s, se.statePartitionsFor(s, s"$tmp/in")) {
+        val q = se.startParquet(
+          se.dedupedStream(se.readTranscripts(s, s"$tmp/in")),
+          s"$tmp/out", s"$tmp/ck")
+        awaitStream(q, "q30_stream_dedup")
+      }
       s.read.parquet(s"$tmp/out")
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n_unique"))

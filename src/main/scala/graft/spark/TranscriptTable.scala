@@ -473,22 +473,48 @@ object TranscriptTable {
     val (candidates, total) = selectFilesForIds(root, curId, convIds)
     val candPaths = candidates.map(_.path).toSet
     val kept = readManifest(root, curId).filterNot(f => candPaths(f.path))
-    val deleted =
-      if (candidates.isEmpty) 0L
-      else readFiles(spark, root, candidates)
-        .filter(col("conv_id").isin(convIds: _*)).count()
-    require(deleted > 0L,
-      s"deleteConvIds: no row matches any of the ${convIds.size} conv ids " +
-        s"(checked ${candidates.size}/$total candidate files) — refusing to " +
-        "commit a no-op snapshot")
-    readFiles(spark, root, candidates)
-      .filter(!col("conv_id").isin(convIds: _*))
-      .repartition(math.max(1, candidates.map(_.bucket).distinct.size), col("bucket"))
-      .sortWithinPartitions("conv_id", "turn_idx")
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.block.size", (4 * 1024 * 1024).toString) // see write()
-      .partitionBy("bucket")
-      .parquet(snapDataDir(root, newSnapshotId))
+    // ONE read of the candidate files: the deleted-row count rides the
+    // rewrite itself via observe() (the same counters-on-the-write shape
+    // extractWithCheckpoints uses), instead of a separate count pass —
+    // halving candidate I/O (round-6 review note). The no-op refusal is
+    // checked AFTER the job but BEFORE the manifest commit: the rewrite's
+    // data dir is rolled back on refusal, so a typo'd id still never
+    // commits a snapshot.
+    val deleted = if (candidates.isEmpty) 0L else {
+      val isVictim = col("conv_id").isin(convIds: _*)
+      val obs = org.apache.spark.sql.Observation(s"graft_del_$newSnapshotId")
+      readFiles(spark, root, candidates)
+        .observe(obs, coalesce(sum(when(isVictim, 1L).otherwise(0L)), lit(0L))
+          .as("deleted"))
+        .filter(!isVictim)
+        .repartition(math.max(1, candidates.map(_.bucket).distinct.size), col("bucket"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (4 * 1024 * 1024).toString) // see write()
+        .partitionBy("bucket")
+        .parquet(snapDataDir(root, newSnapshotId))
+      // when every candidate row is a victim the filtered write lands no
+      // parquet files and AQE's empty-relation propagation can prune the
+      // CollectMetrics node (the overwriteBucket lesson) — in that case
+      // the candidate row count IS the deleted count, recovered from the
+      // manifest stats (exact: footer row counts), never guessed
+      obs.get.get("deleted").map(_.asInstanceOf[Long]).getOrElse {
+        if (candidates.forall(_.rows >= 0L)) candidates.map(_.rows).sum
+        else readFiles(spark, root, candidates).filter(isVictim).count()
+      }
+    }
+    if (deleted == 0L) {
+      // nothing committed yet (no snapshot json, current.json untouched);
+      // remove the orphan rewrite dir so the id stays usable
+      val dir = Paths.get(snapDataDir(root, newSnapshotId))
+      if (Files.isDirectory(dir)) drained(Files.walk(dir)) {
+        _.toVector.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+      sys.error(
+        s"deleteConvIds: no row matches any of the ${convIds.size} conv ids " +
+          s"(checked ${candidates.size}/$total candidate files) — refusing to " +
+          "commit a no-op snapshot")
+    }
     val newFiles = listDataFiles(root, newSnapshotId)
     writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
       kept ++ withStats(root, newFiles), "delete", Some(curId))
@@ -571,8 +597,18 @@ object TranscriptTable {
       convIds: Seq[String]): DataFrame = {
     val id = currentSnapshotId(root).getOrElse(
       sys.error(s"no current snapshot at $root"))
-    val (selected, _) = selectFilesForIds(root, id, convIds)
-    if (selected.isEmpty) emptyLike(spark, root, id)
+    readConvIdsAt(spark, root, id, convIds)
+  }
+
+  /** [[readConvIds]] against an explicit snapshot — the time-travel point
+    * lookup. Same exactness contract: pruning only skips files whose stats
+    * PROVE they cannot hold any of `convIds` (stat-less files survive),
+    * and the residual membership filter stays on.
+    */
+  def readConvIdsAt(spark: SparkSession, root: String, snapshotId: Long,
+      convIds: Seq[String]): DataFrame = {
+    val (selected, _) = selectFilesForIds(root, snapshotId, convIds)
+    if (selected.isEmpty) emptyLike(spark, root, snapshotId)
     else readFiles(spark, root, selected).filter(col("conv_id").isin(convIds: _*))
   }
 

@@ -430,7 +430,18 @@ object Transcripts {
     * ([[graft.pdfxml.PdfLex]]).
     */
   def pdfTurnsFor(seed: Long, k: Long, avgTurns: Int,
-      modern: Boolean = false): Seq[(Turn, Seq[CrossGoldenLine])] = {
+      modern: Boolean = false): Seq[(Turn, Seq[CrossGoldenLine])] =
+    pdfTurnsBody(seed, k, avgTurns, modern, renderPdf = true)
+
+  /** Shared body of [[pdfTurnsFor]] and the goldens-only path: with
+    * `renderPdf = false` the (expensive) PDF serialization is skipped and
+    * the turn carries empty text — the goldens are derived from the SAME
+    * document/RNG stream either way, so [[pdfGoldens]] no longer renders
+    * PDF bytes it immediately discards (guide §1.2: don't compute things
+    * you throw away).
+    */
+  private def pdfTurnsBody(seed: Long, k: Long, avgTurns: Int,
+      modern: Boolean, renderPdf: Boolean): Seq[(Turn, Seq[CrossGoldenLine])] = {
     val r = new java.util.SplittableRandom(seed * 9100019L + k)
     val id = f"pdf-$seed%x-$k%08d"
     val nTurns = 1 + r.nextInt(math.max(1, avgTurns * 2 - 1))
@@ -462,7 +473,8 @@ object Transcripts {
               revTable, votes, cTop, cBottom, cNum)
         }
         val pdf =
-          if (modern) graft.synth.PdfGen.fromXmlModern(doc.xml)
+          if (!renderPdf) ""
+          else if (modern) graft.synth.PdfGen.fromXmlModern(doc.xml)
           else graft.synth.PdfGen.fromXml(doc.xml)
         (Turn(id, ti, role, pdf, "pdf", ts), goldens)
       } else {
@@ -506,12 +518,16 @@ object Transcripts {
       .flatMap(k => pdfTurnsFor(seed, k, avgTurns, modern).map(_._1))
   }
 
-  /** Goldens side of the raw-PDF corpus. */
+  /** Goldens side of the raw-PDF corpus. Skips the PDF byte serialization
+    * (see [[pdfTurnsBody]]) — the goldens derive from the document model,
+    * not from the bytes, and are identical for both serializations.
+    */
   def pdfGoldens(spark: SparkSession, nConvs: Long, seed: Long = 9393L,
       avgTurns: Int = 4, parallelism: Int = 0): Dataset[CrossGoldenLine] = {
     import spark.implicits._
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     spark.range(0, nConvs, 1, par)
-      .flatMap(k => pdfTurnsFor(seed, k, avgTurns).flatMap(_._2))
+      .flatMap(k => pdfTurnsBody(seed, k, avgTurns, modern = false,
+        renderPdf = false).flatMap(_._2))
   }
 }

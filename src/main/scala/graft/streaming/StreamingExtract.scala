@@ -80,6 +80,49 @@ object StreamingExtract {
       .groupBy(window(col("ts"), "1 hour"), col("format"))
       .agg(count(lit(1)).as("turns"), sum(col("n_lines")).as("lines"))
 
+  /** Size the STATEFUL shuffle (state-store partition count) to the
+    * stream's input volume instead of inheriting the session's batch
+    * shuffle parallelism. Stateful streaming exchanges are exempt from AQE
+    * (Spark disables AQE coalescing for stateful workloads) and the count
+    * is frozen into the checkpoint at first start, so it must be chosen
+    * explicitly and scale-adaptively: each state-store instance costs a
+    * per-micro-batch commit (delta file + maintenance) regardless of how
+    * little state it holds, so a tiny backfill across 32 stores pays 32
+    * fixed commits per batch for state that fits in one. Derivation:
+    * one partition per `bytesPerPartition` of input (default 32 MiB —
+    * state is a bounded fraction of input for watermarked ops), clamped
+    * to [1, 4x defaultParallelism]; `SPARK_GRAFT_STREAM_PARTITIONS`
+    * overrides for cluster deployments that know their state size.
+    */
+  def statePartitionsFor(spark: SparkSession, inputDir: String,
+      bytesPerPartition: Long = 32L << 20): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
+      val bytes =
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(inputDir))
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator.asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p))
+              .map(p => java.nio.file.Files.size(p)).sum
+          } finally walk.close()
+        } catch { case _: Exception => 0L }
+      val derived = math.max(1L, (bytes + bytesPerPartition - 1) / bytesPerPartition)
+      math.min(derived, spark.sparkContext.defaultParallelism.toLong * 4).toInt
+    }
+
+  /** Run `body` (a streaming-query start + await) with
+    * spark.sql.shuffle.partitions pinned to `n`, restoring the session
+    * value after. The conf is only read when the stream plans its batches,
+    * so the pin must span the whole run, not just start().
+    */
+  def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** start a parquet-sink query — the scale path: micro-batch results land
     * in files, never in the driver (the memory sink below is test-only).
     */
