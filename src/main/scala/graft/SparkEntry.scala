@@ -231,11 +231,20 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
     "q04_join_4way" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // inner equi-joins reordered so the FACT side never shuffles
+      // (guide §3.1): the dimension chain orders⋈customer⋈nation⋈region
+      // resolves to (o_orderkey, r_name, n_name) — one row per order, a
+      // few MB — and broadcasts; lineitem's only exchange is the final
+      // partial-aggregated groupBy. Was: lineitem and orders both
+      // shuffled into a sort-merge join. Same multiset semantics (all
+      // joins inner, keys unchanged), same oracle.
+      val dims = t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("o_orderkey"), col("r_name"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(dims), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("bigint").as("sum_qty"))

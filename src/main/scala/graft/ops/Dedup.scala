@@ -159,19 +159,24 @@ object Dedup {
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
-    // candidate-driven text lookback: semi-join reduction first so only
-    // candidate texts flow into the pair join. No forced broadcast — the
+    // candidate-driven text lookback, candidates consumed ONCE: an earlier
+    // shape pre-reduced the b-side texts with a semi-join on
+    // candidates.id_b, which made the (expensive) candidate pipeline a
+    // TWO-consumer subtree — AQE exchange reuse covered only part of it
+    // and the window + self-join recomputed per consumer (round-7 plan
+    // audit: 33 live Exchanges, signature subtree planned 23x). The semi
+    // also bought nothing at scale: it shuffles the full text table by id
+    // exactly like the pair join itself does. Joining the pair set
+    // through texts twice (id_a, then id_b) keeps one candidate instance
+    // and two cheap column-pruned text scans. No forced broadcast — the
     // candidate set is usually small but is NOT bounded (duplicate-heavy
     // corpora can emit billions of sub-cap pairs), so strategy is left to
     // the planner/AQE, which broadcasts small sides at runtime and falls
     // back to shuffle joins when they aren't.
     val jac = udf { (t1: String, t2: String) => MinHash.exactJaccard(t1, t2, k) }
-    val withA = texts.select($"id".as("id_a"), $"text".as("text_a"))
-      .join(candidates, Seq("id_a"))
-    val textsB = texts.select($"id".as("id_b"), $"text".as("text_b"))
-      .join(candidates.select($"id_b").distinct(), Seq("id_b"), "left_semi")
-    withA
-      .join(textsB, Seq("id_b"))
+    candidates
+      .join(texts.select($"id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
+      .join(texts.select($"id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
       .withColumn("jaccard", jac($"text_a", $"text_b"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")

@@ -382,6 +382,13 @@ object PdfLex {
         }
         val data = streamData(s)
         val rowLen = w.sum
+        // /W fields are byte widths: each 0..8 and the row non-empty. A
+        // /W summing to 0 would make the truncation guard in the loop
+        // below vacuous (p never advances), so a hostile /Index count
+        // like [0 2e9] would spin billions of no-op iterations filling
+        // `defined` — an OOME/hang that escapes the bomb guards.
+        if (rowLen <= 0 || w.exists(x => x < 0 || x > 8))
+          throw new PdfError(s"bad xref stream /W ${w.mkString("[", " ", "]")}")
         var p = 0
         def field(width: Int, dflt: Long): Long = {
           if (width == 0) dflt
@@ -397,6 +404,11 @@ object PdfLex {
         while (g + 1 < index.length) {
           val start = index(g)
           val count = index(g + 1)
+          // bound each subsection against the decoded data BEFORE
+          // iterating: with the guard only inside the loop a huge /Index
+          // count still costs `count` iterations to reach it
+          if (count < 0 || count.toLong * rowLen > data.length.toLong - p)
+            throw new PdfError(s"xref stream /Index count $count exceeds stream data")
           var i = 0
           while (i < count) {
             if (p + rowLen > data.length) throw new PdfError("xref stream data truncated")
@@ -648,15 +660,55 @@ object PdfLex {
               members.zipWithIndex.foreach { case ((objNum, _), idx) =>
                 if (!offsetsV.contains(objNum)) extra(objNum) = (num, idx)
               }
+            // the /Encrypt refusal must survive a damaged xref: this path
+            // never reads a trailer, so without these checks an encrypted
+            // file with a broken table would extract RC4/AES ciphertext
+            // as garbage text — the exact failure the guard exists for
+            case (_, st: PStream) if st.dict.m.get("Type").contains(PName("XRef")) =>
+              if (st.dict.m.contains("Encrypt")) encryptedV = true
             case _ => ()
           }
         } catch { case _: Exception => () } // damaged candidate: skip it
       }
+      // classic serializations keep /Encrypt in the trailer DICT (not an
+      // object): scan for `trailer` keywords and parse each dict — bounded
+      // by file size, same cost class as the object scan itself
+      detectEncryptInTrailers()
       // the scan IS the recovery ground truth: in the stale-rescan case
       // the old xref's compressed entries lost their trust along with the
       // table, so fresh scan results shadow them
       compressedV = compressedV ++ extra
       offsetsV
+    }
+
+    /** find every `trailer` keyword in the raw bytes and parse the dict
+      * that follows; any carrying /Encrypt flags the file. Keyword
+      * boundaries are checked (a content-stream word like "trailers"
+      * doesn't match) and damaged candidates are skipped — a false
+      * positive here turns a possibly-readable damaged file into a
+      * refusal, never the reverse.
+      */
+    private def detectEncryptInTrailers(): Unit = {
+      val kw = "trailer".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      var i = 0
+      val limit = bytes.length - kw.length
+      while (i <= limit && !encryptedV) {
+        var j = 0
+        while (j < kw.length && bytes(i + j) == kw(j)) j += 1
+        if (j == kw.length &&
+            (i == 0 || !isRegular(bytes(i - 1))) &&
+            (i + kw.length >= bytes.length || !isRegular(bytes(i + kw.length)))) {
+          try {
+            val c = new Cur(bytes, i + kw.length)
+            c.skipWs()
+            parseVal(c) match {
+              case d: PDict if d.m.contains("Encrypt") => encryptedV = true
+              case _ => ()
+            }
+          } catch { case _: Exception => () }
+        }
+        i += 1
+      }
     }
 
     def resolve(v: PVal): PVal = v match {
@@ -1484,7 +1536,20 @@ object PdfLex {
         case '<' =>
           if (c.p + 1 < c.b.length && c.b(c.p + 1) == '<') parseDict(c)
           else PStr(parseHexString(c))
-        case _ => parseNumber(c)
+        case _ =>
+          // keyword operands: inline-image dict values like `/IM true`
+          // (§8.9.7) are booleans/null — falling through to parseNumber
+          // would degrade the whole turn to format=error over a common
+          // real-world construct
+          val ch = c.peek
+          if ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))
+            c.keyword() match {
+              case "true" => PBool(true)
+              case "false" => PBool(false)
+              case "null" => PNull
+              case other => throw new PdfError(s"unexpected keyword operand '$other'")
+            }
+          else parseNumber(c)
       }
     }
     while ({ c.skipWs(); !c.atEnd }) {
@@ -1502,6 +1567,11 @@ object PdfLex {
           case "Q" => if (gsStack.nonEmpty) {
             val g = gsStack.last
             gsStack.dropRightInPlace(1)
+            // flush pending show pieces BEFORE the CTM translation is
+            // restored (mirrors cm): flush() applies the CURRENT ctm, and
+            // a show sequence spanning the Q was positioned under the
+            // pre-Q translation
+            if (g.ctmX != ctmX || g.ctmY != ctmY) flush()
             fill = g.fill; font = g.font; size = g.size; leading = g.leading
             charSpacing = g.charSpacing; wordSpacing = g.wordSpacing
             hscale = g.hscale; ctmX = g.ctmX; ctmY = g.ctmY
@@ -1545,6 +1615,16 @@ object PdfLex {
             lineX += num(stack(stack.length - 2)); lineY += num(stack.last)
             curX = lineX; curY = lineY
           case "Tm" if stack.length >= 6 =>
+            // same subset contract as cm: only pure-translation text
+            // matrices are honored. Silently reading just e,f from
+            // `a b c d e f Tm` would pass scaled/rotated text through
+            // with wrong geometry and wrong effective font size —
+            // "rejected loudly, never mis-extracted"
+            val ta = num(stack(stack.length - 6)); val tb = num(stack(stack.length - 5))
+            val tc = num(stack(stack.length - 4)); val td = num(stack(stack.length - 3))
+            if (ta != 1.0 || tb != 0.0 || tc != 0.0 || td != 1.0)
+              throw new PdfError(
+                "non-translation Tm matrix is outside the text-extraction subset")
             flush()
             lineX = num(stack(stack.length - 2)); lineY = num(stack.last)
             curX = lineX; curY = lineY

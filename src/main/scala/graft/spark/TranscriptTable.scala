@@ -510,11 +510,11 @@ object TranscriptTable {
       if (Files.isDirectory(dir)) drained(Files.walk(dir)) {
         _.toVector.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
       }
-      sys.error(
-        s"deleteConvIds: no row matches any of the ${convIds.size} conv ids " +
-          s"(checked ${candidates.size}/$total candidate files) — refusing to " +
-          "commit a no-op snapshot")
     }
+    require(deleted > 0L,
+      s"deleteConvIds: no row matches any of the ${convIds.size} conv ids " +
+        s"(checked ${candidates.size}/$total candidate files) — refusing to " +
+        "commit a no-op snapshot")
     val newFiles = listDataFiles(root, newSnapshotId)
     writeSnapshot(root, newSnapshotId, nBuckets, cur("schema").asString,
       kept ++ withStats(root, newFiles), "delete", Some(curId))

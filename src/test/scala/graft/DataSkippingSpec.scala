@@ -198,4 +198,50 @@ class DataSkippingSpec extends AnyFunSuite {
     val got = TranscriptTable.readConvIds(sp, root, Seq(someId)).count()
     assert(got == 6L)
   }
+
+  test("readConvIdsAt: pruned time-travel lookup equals the full readAt filter") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpRoot("at")
+    TranscriptTable.write(corpus(sp, 60), root, nBuckets = 4, snapshotId = 1L,
+      filesPerBucket = 2, layout = "range")
+    // advance the table so snapshot 1 is no longer current
+    val extra = Seq(("zz-new", 0, "appended")).toDF("conv_id", "turn_idx", "text")
+    TranscriptTable.append(extra, root, newSnapshotId = 2L, filesPerBucket = 1)
+    val ids = Seq("c003", "c042", "c199")
+    val pruned = TranscriptTable.readConvIdsAt(sp, root, 1L, ids)
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    val full = TranscriptTable.readAt(sp, root, 1L)
+      .filter(col("conv_id").isin(ids: _*))
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(pruned.nonEmpty && (pruned.toSeq == full.toSeq))
+    // and it actually pruned: candidate files are a strict subset
+    val (cands, total) = TranscriptTable.selectFilesForIds(root, 1L, ids)
+    assert(cands.size < total, s"$cands of $total")
+    // at the CURRENT snapshot the appended conv resolves too
+    assert(TranscriptTable.readConvIds(sp, root, Seq("zz-new")).count() == 1L)
+  }
+
+  test("deleteConvIds counts ride the rewrite: one read of candidates, exact count") {
+    val sp = spark
+    val root = tmpRoot("delobs")
+    TranscriptTable.write(corpus(sp, 40), root, nBuckets = 4, snapshotId = 1L,
+      filesPerBucket = 2, layout = "range")
+    val victims = Seq("c000", "c017")
+    val expected = TranscriptTable.read(sp, root)
+      .filter(col("conv_id").isin(victims: _*)).count()
+    val deleted = TranscriptTable.deleteConvIds(sp, root, victims, newSnapshotId = 2L)
+    assert(deleted == expected, s"observe-folded count $deleted != $expected")
+    assert(TranscriptTable.read(sp, root).count() == 40L * 3 - expected)
+    // all-victims-in-candidates: the rewrite lands no files (every row
+    // filtered out), AQE prunes the CollectMetrics node, and the count
+    // falls back to the manifest's footer stats (exact, never guessed)
+    val remaining = TranscriptTable.read(sp, root).count()
+    val allIds = TranscriptTable.read(sp, root).select("conv_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val d2 = TranscriptTable.deleteConvIds(sp, root, allIds, newSnapshotId = 3L)
+    assert(d2 == remaining, s"all-victim fallback count $d2 != $remaining")
+    assert(TranscriptTable.readManifest(root, 3L).isEmpty,
+      "deleting every row must commit an empty manifest")
+  }
 }

@@ -512,4 +512,28 @@ class OpsSpec extends AnyFunSuite {
     assert(gotTurns < wantTurns,
       s"expected late-data drops under bounded triggers: got $gotTurns, no-drop cutoff $wantTurns")
   }
+
+  test("statePartitionsFor derives from input volume, clamped, overridable") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_spart")
+    java.nio.file.Files.write(dir.resolve("a.bin"), new Array[Byte](10 * 1024))
+    // 10 KiB at the 32 MiB default -> 1 partition (tiny stream, one store)
+    assert(StreamingExtract.statePartitionsFor(sp, dir.toString) == 1)
+    // same bytes at 1 KiB per partition -> 10
+    assert(StreamingExtract.statePartitionsFor(sp, dir.toString,
+      bytesPerPartition = 1024L) == 10)
+    // clamp: never exceeds 4x the session parallelism
+    val cap = sp.sparkContext.defaultParallelism * 4
+    assert(StreamingExtract.statePartitionsFor(sp, dir.toString,
+      bytesPerPartition = 1L) == cap)
+    // unreadable dir degrades to 1, never throws
+    assert(StreamingExtract.statePartitionsFor(sp, "/no/such/dir") == 1)
+    // withStatePartitions pins and restores the session conf
+    val key = "spark.sql.shuffle.partitions"
+    val prev = sp.conf.get(key)
+    StreamingExtract.withStatePartitions(sp, 3) {
+      assert(sp.conf.get(key) == "3")
+    }
+    assert(sp.conf.get(key) == prev)
+  }
 }

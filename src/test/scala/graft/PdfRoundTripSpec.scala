@@ -245,6 +245,28 @@ class PdfRoundTripSpec extends AnyFunSuite {
     assert(errors > 0, "no mutation ever broke the parse — fuzz too weak")
   }
 
+  test("mutation fuzz: scaled/rotated Tm matrices degrade to error, never wrong geometry") {
+    // round-6 verdict item #1: a valid PDF setting text via a
+    // non-translation Tm (scale `2 0 0 2 x y Tm`, rotation, shear) was the
+    // one remaining construct that silently mis-extracted geometry. Plant
+    // such matrices into real generated documents: every mutant must
+    // refuse (format=error), matching the cm guard's contract.
+    val r = new java.util.SplittableRandom(0x7A117L)
+    val matrices = Vector(
+      "2 0 0 2", "0.5 0 0 0.5", "0 1 -1 0", "1 0.2 0 1", "1 0 0.3 1",
+      "-1 0 0 1", "3 0 0 1")
+    for (seed <- 1 to 25) {
+      val pdf = PdfGen.fromXml(
+        ScreenplayGen.render(ScreenplayGen.elements(seed.toLong, 3)).xml)
+      val m = matrices(r.nextInt(matrices.length))
+      val mutated = pdf.replaceFirst("1 0 0 1 (\\S+ \\S+ Tm)", s"$m $$1")
+      assert(mutated != pdf, s"seed $seed: no Tm site found to mutate")
+      val t = ExtractTurn.extract(mutated)
+      assert(t.format == "error",
+        s"seed $seed matrix [$m]: expected refusal, got format=${t.format}")
+    }
+  }
+
   test("rogue payloads yield error/unknown turns, never crashes") {
     assert(ExtractTurn.extract("%PDF-1.4\ngarbage").format == "error")
     assert(ExtractTurn.extract("%PDF-").format == "error")
