@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: media as opaque
-  * `binary` columns with typed metadata, processed batch-wise per
-  * partition (the Scala analogue of mapInPandas: one iterator pass per
-  * partition, no per-row UDF dispatch).
+  * `binary` columns with typed metadata, decoded by native Catalyst
+  * expressions (decode_media / byte_mean scalar kernels — no per-row UDF
+  * dispatch, no object boxing, and unused feature columns prune away;
+  * see [[Multimodal.features]]).
   *
   * The decode step parses REAL container formats — PNG (signature + IHDR
   * dimensions, CRC-correct chunks), WAV (RIFF chunk walk: fmt byte-rate,
@@ -205,32 +206,50 @@ object Multimodal {
     } else Decoded("unknown", 0, 0, 0, 0)
   } catch { case scala.util.control.NonFatal(_) => Decoded("unknown", 0, 0, 0, 0) }
 
-  /** feature-extraction pass: one partition = one batch (mapPartitions,
-    * the batch shape a Pandas-UDF/Arrow pipeline would use). Every output
-    * column derives from the payload via [[decode]] — the synthesis-time
-    * metadata columns are deliberately not read.
+  /** feature-extraction pass as NATIVE expressions (decode_media +
+    * byte_mean scalar kernels composed with built-ins). Every output
+    * column derives from the payload — the synthesis-time metadata
+    * columns are deliberately not read.
+    *
+    * This was a typed mapPartitions (the Pandas-UDF batch shape) through
+    * round 6; guide §4's caveat applied in full: the opaque closure
+    * deserialized every MediaRow to a Scala object, computed ALL ten
+    * features eagerly, and defeated column pruning — a consumer reading
+    * only (kind, n_bytes, n_frames_sampled) still paid the byte-mean
+    * pass over the whole payload corpus and the object boxing both ways.
+    * As expressions, unused feature columns are pruned by the optimizer
+    * (q22's aggregate drops byte_mean: the 400 MB/sf0.1 mean pass
+    * disappears from the plan) and the surrounding project stays
+    * whole-stage-codegen'd. The decode struct is projected ONCE and
+    * consumed via field accessors in a separate projection — the alias
+    * is referenced multiple times, which blocks CollapseProject from
+    * inlining (re-evaluating) the kernel per field.
     */
   def features(media: Dataset[MediaRow], thumbMax: Int = 128, frameEveryMs: Int = 5000): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val d = decode(m.payload)
-        var sum = 0L; var i = 0
-        while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
-        val mean = if (m.payload.length == 0) 0.0 else sum.toDouble / m.payload.length
-        val scale = math.min(1.0, thumbMax.toDouble / math.max(1, math.max(d.width, d.height)))
-        val tw = math.max(1, math.round(d.width * scale).toInt)
-        val th = math.max(1, math.round(d.height * scale).toInt)
-        val frames = d.kind match {
-          case "image" => 1
-          case "audio" => 1 + d.durMs / frameEveryMs // sampled every 5 s
-          case "video" => d.frames
-          case _ => 0
-        }
-        MediaFeatures(m.media_id, d.kind, m.payload.length, d.width, d.height,
-          d.durMs, mean, tw, th, frames)
-      }
-    }
+    import org.apache.spark.sql.graftbridge.Bridge
+    val withD = media.toDF().select(col("media_id"), col("payload"),
+      Bridge.column(MediaDecodeExpr(Bridge.expression(col("payload")))).as("d"))
+    val maxDim = greatest(col("d.width"), col("d.height"), lit(1)).cast("double")
+    val scale = least(lit(1.0), lit(thumbMax.toDouble) / maxDim)
+    withD.select(
+      col("media_id"),
+      col("d.kind").as("kind"),
+      length(col("payload")).cast("int").as("n_bytes"),
+      col("d.width").as("width"),
+      col("d.height").as("height"),
+      col("d.dur_ms").as("dur_ms"),
+      Bridge.column(ByteMeanExpr(Bridge.expression(col("payload")))).as("byte_mean"),
+      greatest(lit(1), round(col("d.width") * scale).cast("int")).as("thumb_w"),
+      greatest(lit(1), round(col("d.height") * scale).cast("int")).as("thumb_h"),
+      when(col("d.kind") === "image", lit(1))
+        // integer division: dur_ms >= 0, so the double-divide + int cast
+        // truncation equals Java int division
+        .when(col("d.kind") === "audio",
+          lit(1) + (col("d.dur_ms") / lit(frameEveryMs)).cast("int"))
+        .otherwise(col("d.frames")) // video: container frames; unknown: 0
+        .as("n_frames_sampled"))
+      .as[MediaFeatures]
   }
 
   /** corpus-level stats over the extracted features (one shuffle) */
@@ -241,4 +260,64 @@ object Multimodal {
         avg(col("byte_mean")).as("avg_byte_mean"),
         sum(col("n_frames_sampled")).as("total_frames"))
       .orderBy(col("kind"))
+}
+
+/** `decode_media(payload)` — the container-structure parse
+  * ([[Multimodal.decode]]) as a native Catalyst Expression returning
+  * struct(kind, width, height, dur_ms, frames). Null-safe, total (decode
+  * never throws); evaluates via CodegenFallback while the surrounding
+  * projections stay whole-stage-codegen'd.
+  */
+case class MediaDecodeExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = MediaDecodeExpr.schema
+  override def prettyName: String = "decode_media"
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = Multimodal.decode(input.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(d.kind),
+      d.width, d.height, d.durMs, d.frames)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): MediaDecodeExpr =
+    copy(child = c)
+}
+
+object MediaDecodeExpr {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("dur_ms", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false)))
+}
+
+/** `byte_mean(payload)` — mean of the unsigned byte values (0.0 for an
+  * empty payload), as a native Expression so consumers that don't read it
+  * never pay the full-payload pass (column pruning removes the column).
+  */
+case class ByteMeanExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "byte_mean"
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length == 0) 0.0
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < b.length) { sum += b(i) & 0xff; i += 1 }
+      sum.toDouble / b.length
+    }
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): ByteMeanExpr =
+    copy(child = c)
 }
