@@ -231,20 +231,21 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
     "q04_join_4way" -> ((s, dir) => {
-      // inner equi-joins reordered so the FACT side never shuffles
-      // (guide §3.1): the dimension chain orders⋈customer⋈nation⋈region
-      // resolves to (o_orderkey, r_name, n_name) — one row per order, a
-      // few MB — and broadcasts; lineitem's only exchange is the final
-      // partial-aggregated groupBy. Was: lineitem and orders both
-      // shuffled into a sort-merge join. Same multiset semantics (all
-      // joins inner, keys unchanged), same oracle.
-      val dims = t(s, dir, "orders")
+      // join-strategy note (round-7 audit): the bounded dimensions
+      // (customer/nation/region) are explicitly broadcast; the
+      // lineitem⋈orders strategy is deliberately LEFT to the planner —
+      // at this scale factor it auto-broadcasts orders (the before-plan
+      // capture shows an all-BroadcastHashJoin chain, zero data-side
+      // exchanges), and at 100 TB, where orders outgrows any broadcast,
+      // it degrades to a sort-merge join instead of a forced broadcast
+      // of an unbounded side. A round-7 experiment that pre-joined the
+      // dimension chain and broadcast the orders-derived result was
+      // reverted for exactly that reason.
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .select(col("o_orderkey"), col("r_name"), col("n_name"))
-      t(s, dir, "lineitem")
-        .join(broadcast(dims), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("bigint").as("sum_qty"))
@@ -859,17 +860,30 @@ object SparkEntry {
       // The two snapshot stats and the cross-snapshot drift check are
       // independent reads of committed snapshots — overlap them
       // (guide §2.6)
+      // non-overwritten buckets must be byte-identical across snapshots.
+      // Round 6 checked this with exceptAll — a full shuffle of BOTH
+      // snapshots just to prove emptiness. The digest below is the
+      // verifyByHash trade (map-side-combinable aggregate, no exchange of
+      // data rows): rows are unique by (conv_id, turn_idx), so comparing
+      // (count, bit_xor(h)) over xxhash64 of every compared column
+      // detects any multiset difference up to a ~2^-64 collision — the
+      // same contract the engine's scale-path verification uses (sum(h)
+      // would strengthen it but overflows under ANSI mode, Spark 4's
+      // default). At table scale this turns a 2x-table shuffle into two
+      // scans.
       val cols = Seq("conv_id", "turn_idx", "role", "text", "tool")
-      val (r1, r2, othersDiff) = par3(
+      def bucketDigest(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("bucket") =!= 0)
+        .select(xxhash64(cols.map(col): _*).as("lh"))
+        .agg(count(lit(1)), expr("bit_xor(lh)"))
+        .head()
+      val (r1, r2, digests) = par3(
         stats(graft.spark.TranscriptTable.readAt(s, root, 1L)),
         stats(graft.spark.TranscriptTable.read(s, root)),
-        // non-overwritten buckets must be byte-identical across snapshots
-        graft.spark.TranscriptTable.readAt(s, root, 1L)
-          .filter(col("bucket") =!= 0).select(cols.map(col): _*)
-          .exceptAll(graft.spark.TranscriptTable.read(s, root)
-            .filter(col("bucket") =!= 0).select(cols.map(col): _*))
-          .count())
-      require(othersDiff == 0L, s"non-overwritten buckets drifted: $othersDiff rows")
+        (bucketDigest(graft.spark.TranscriptTable.readAt(s, root, 1L)),
+          bucketDigest(graft.spark.TranscriptTable.read(s, root))))
+      require(digests._1 == digests._2,
+        s"non-overwritten buckets drifted: ${digests._1} vs ${digests._2}")
       // maintenance pass: bin-pack the current snapshot into snapshot 3
       // (Iceberg rewrite_data_files) — fewer files, identical aggregates
       val filesBefore = graft.spark.TranscriptTable.readManifest(root, 2L).length
@@ -902,7 +916,7 @@ object SparkEntry {
       val n = math.min(nConvsFor(dir), 100L)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q23b").toString
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
-      transcripts.write.mode("overwrite").parquet(s"$tmp/in")
+      transcripts.coalesce(8).write.mode("overwrite").parquet(s"$tmp/in")
       val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
         .agg(count(lit(1)).as("g_lines"))
@@ -941,7 +955,7 @@ object SparkEntry {
       val n = math.min(nConvsFor(dir), 100L)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q31").toString
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
-      transcripts.write.mode("overwrite").parquet(s"$tmp/in")
+      transcripts.coalesce(8).write.mode("overwrite").parquet(s"$tmp/in")
       val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
         .agg(count(lit(1)).as("g_lines"))
@@ -983,7 +997,7 @@ object SparkEntry {
       val withHalf = transcripts
         .withColumn("half", pmod(xxhash64(col("conv_id")), lit(2)))
       withHalf.filter(col("half") === 0).drop("half")
-        .write.mode("overwrite").parquet(s"$tmp/in")
+        .coalesce(8).write.mode("overwrite").parquet(s"$tmp/in")
       materialize(Transcripts.goldens(s, n, seed = 42L).toDF()
         .groupBy(col("conv_id"), col("turn_idx"))
         .agg(count(lit(1)).as("g_lines")), "q42_expected")
@@ -998,10 +1012,12 @@ object SparkEntry {
       val in1 = runOnce("q42_run1")
       // the second half lands while the query is DOWN
       withHalf.filter(col("half") === 1).drop("half")
-        .write.mode("append").parquet(s"$tmp/in")
+        .coalesce(8).write.mode("append").parquet(s"$tmp/in")
       val in2 = runOnce("q42_run2")
       require(in1 > 0 && in2 > 0, s"both runs must process data: $in1 / $in2")
-      require(in2 < transcripts.count(),
+      // total input rows from the landed files (parquet metadata count)
+      // instead of re-running the generator lineage — same value
+      require(in2 < s.read.parquet(s"$tmp/in").count(),
         s"restart reprocessed old input: $in2 rows in run 2")
       val sink = s.read.parquet(s"$tmp/out")
       val dupes = sink.groupBy(col("conv_id"), col("turn_idx"))
@@ -1238,7 +1254,7 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx")).limit(20)
         .withColumn("conv_id", concat(lit("dup_"), col("conv_id")))
       val all = transcripts.union(dupes.select(transcripts.columns.toIndexedSeq.map(col): _*))
-      all.write.mode("overwrite").parquet(s"$tmp/in")
+      all.coalesce(8).write.mode("overwrite").parquet(s"$tmp/in")
       materialize(
         all.filter(col("tool").isin("pdftohtml", "shakespeare"))
           .select(when(col("tool") === "pdftohtml", "pdfxml")
@@ -1265,7 +1281,7 @@ object SparkEntry {
       val n = math.min(nConvsFor(dir), 100L)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q23").toString
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
-      transcripts.write.mode("overwrite").parquet(s"$tmp/in")
+      transcripts.coalesce(8).write.mode("overwrite").parquet(s"$tmp/in")
       val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
         .agg(count(lit(1)).as("g_lines"))
