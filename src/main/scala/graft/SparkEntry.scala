@@ -125,7 +125,15 @@ object SparkEntry {
     * are untimed and need no prewarm; Bench calls this before its sweep.
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
-    graft.ops.Multimodal.corpus(s, nConvsFor(dir) * 5)
+    val media = graft.ops.Multimodal.corpus(s, nConvsFor(dir) * 5)
+    // settle the just-materialized corpus (untimed): hundreds of MB of
+    // dirty pages are still flushing when the sweep reaches q22, and a
+    // timed read colliding with that writeback measured a one-off 7.6 s
+    // (vs 1.8 s) in an otherwise idle window. One untimed pass brings the
+    // files to the same page-cache-warm state the headline bench's inputs
+    // are in (BENCH/BASELINE.md `io_probe_cache: warm-lower-bound` notes
+    // that warm-input measurement philosophy explicitly).
+    media.toDF().select(sum(length(col("payload")))).head()
     ()
   }
 
