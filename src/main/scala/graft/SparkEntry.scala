@@ -732,10 +732,14 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q29").toString
       val transcripts = Transcripts.synthesize(s, n, seed = 42L).toDF()
       graft.spark.TranscriptTable.write(transcripts, s"$tmp/table", nBuckets, snapshotId = 1L)
+      // overlap every bucket job (guide §2.6): the per-bucket fixed cost
+      // (~0.2 s scheduling + manifest commit) dominates small buckets, and
+      // nBuckets concurrent jobs just means all bucket tails backfill each
+      // other; per-bucket manifests keep resume granularity unchanged
       val c1 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 8)
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = nBuckets)
       val c2 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 8) // all committed
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = nBuckets) // all committed
       require(c1 == c2, s"checkpoint resume must be a no-op: $c1 vs $c2")
       val goldens = Transcripts.goldens(s, n, seed = 42L).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
@@ -812,7 +816,7 @@ object SparkEntry {
       val transcripts = Transcripts.synthesizeSkewed(s, n, seed = 42L, nBuckets = nBuckets).toDF()
       graft.spark.TranscriptTable.write(transcripts, s"$tmp/table", nBuckets, snapshotId = 1L)
       val c1 = graft.spark.TranscriptTable.extractWithCheckpoints(
-        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = 8)
+        s, s"$tmp/table", s"$tmp/out", nBuckets, maxConcurrent = nBuckets)
       require(c1.turns > 0, "skew corpus extracted no turns")
       val goldens = Transcripts.skewedGoldens(s, n, seed = 42L, nBuckets = nBuckets).toDF()
       val perTurn = goldens.groupBy(col("conv_id"), col("turn_idx"))
